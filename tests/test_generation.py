@@ -1,0 +1,112 @@
+"""Greedy-decode parity vs HF torch ``generate`` on tiny random models —
+the analog of the reference's exact-transcript differential test
+(reference: examples/whisper/run.py:294-331)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+from whisper_trtllm_tpu.models.whisper import convert_hf_model, encode
+from whisper_trtllm_tpu.runtime.generation import greedy_decode, transcribe_tokens
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    torch.manual_seed(1)
+    hf_cfg = HFConfig(
+        vocab_size=97,
+        num_mel_bins=16,
+        d_model=32,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        decoder_layers=2,
+        decoder_attention_heads=4,
+        encoder_ffn_dim=64,
+        decoder_ffn_dim=64,
+        max_source_positions=24,
+        max_target_positions=16,
+        decoder_start_token_id=1,
+        eos_token_id=2,
+        pad_token_id=2,
+        bos_token_id=1,
+        suppress_tokens=[5, 7],
+        begin_suppress_tokens=[3],
+        forced_decoder_ids=[[1, 11]],
+    )
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    # generation config mirrors model config (HF reads these from there)
+    hf.generation_config.suppress_tokens = [5, 7]
+    hf.generation_config.begin_suppress_tokens = [3]
+    hf.generation_config.forced_decoder_ids = [[1, 11]]
+    params, cfg = convert_hf_model(hf)
+    assert cfg.suppress_tokens == (5, 7)
+    assert cfg.forced_decoder_ids == ((1, 11),)
+    return hf, params, cfg
+
+
+def test_greedy_matches_hf_generate(hf_pair, rng):
+    import torch
+
+    hf, params, cfg = hf_pair
+    mel = rng.standard_normal(
+        (3, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+
+    # HF counts the [start, forced] prompt (len 2) against max_target_positions
+    max_new = cfg.max_target_positions - 2
+    with torch.no_grad():
+        theirs = hf.generate(
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            max_new_tokens=max_new,
+            num_beams=1,
+            do_sample=False,
+        ).numpy()
+
+    tokens, lengths = transcribe_tokens(
+        params, cfg, jnp.asarray(mel), GenerationConfig(max_new_tokens=max_new)
+    )
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+
+    for b in range(mel.shape[0]):
+        ours_b = tokens[b, : lengths[b]]
+        # modern HF whisper generate strips the decoder_start prompt token
+        if theirs[b][0] != cfg.decoder_start_token_id:
+            ours_b = ours_b[1:]
+        theirs_b = theirs[b]
+        # HF pads its batch output with pad_token after EOS; strip both
+        if (theirs_b == cfg.eos_token_id).any():
+            theirs_b = theirs_b[: np.argmax(theirs_b == cfg.eos_token_id) + 1]
+        np.testing.assert_array_equal(ours_b, theirs_b)
+
+
+def test_forced_and_suppressed_tokens(hf_pair, rng):
+    hf, params, cfg = hf_pair
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens, lengths = transcribe_tokens(params, cfg, jnp.asarray(mel))
+    tokens = np.asarray(tokens)
+    assert (tokens[:, 0] == cfg.decoder_start_token_id).all()
+    assert (tokens[:, 1] == 11).all()  # forced at position 1
+    for t in cfg.suppress_tokens:     # never emitted
+        assert not (tokens == t).any()
+
+
+def test_eos_lanes_finish_independently(hf_pair, rng):
+    """After EOS a lane must emit pad only (reference EOS masking,
+    examples/whisper/run.py:205-217)."""
+    hf, params, cfg = hf_pair
+    mel = rng.standard_normal(
+        (4, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens, lengths = transcribe_tokens(params, cfg, jnp.asarray(mel))
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+    for b in range(4):
+        after = tokens[b, lengths[b]:]
+        assert (after == cfg.pad_token_id).all()

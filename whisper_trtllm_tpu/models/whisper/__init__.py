@@ -1,0 +1,14 @@
+from whisper_trtllm_tpu.models.whisper.model import (  # noqa: F401
+    cast_params,
+    compute_cross_kv,
+    decode_full,
+    decode_step,
+    encode,
+    init_params,
+    init_self_kv,
+)
+from whisper_trtllm_tpu.models.whisper.convert import (  # noqa: F401
+    convert_hf_model,
+    convert_state_dict,
+    load_pretrained,
+)

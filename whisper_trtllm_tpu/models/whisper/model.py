@@ -1,0 +1,298 @@
+"""TPU-native Whisper encoder/decoder.
+
+The flagship model (analog of reference:
+tensorrt_llm/models/whisper/model.py:68-516), redesigned for XLA:
+
+- Layers are *stacked* along a leading L axis and executed with
+  ``jax.lax.scan`` — one compiled layer body regardless of depth (the
+  reference unrolls layers into the TRT graph).
+- The decoder's four attention modes (self/cross × with/without cache,
+  reference model.py:153-304) collapse into two code paths: a teacher-forced
+  full-sequence forward (parity tests / training) and a single-token
+  ``decode_step`` against static-shape caches. Cross-attention K/V is computed
+  **once** at encode time (``compute_cross_kv``) instead of per-step
+  slice/concat games (reference model.py:265-272).
+- All shapes static; cache position is an integer, masking does the rest
+  (SURVEY.md §7 design inversions 2-3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_trtllm_tpu.config import WhisperConfig
+from whisper_trtllm_tpu.layers.init import (
+    init_attention,
+    init_conv1d,
+    init_dense,
+    init_embedding,
+    init_layer_norm,
+)
+from whisper_trtllm_tpu.layers.transformer import (
+    attention_qkv,
+    merge_heads,
+    mlp_block,
+    split_heads,
+)
+from whisper_trtllm_tpu.ops.attention import mha, mha_decode_step, update_kv_cache
+from whisper_trtllm_tpu.ops.functional import (
+    conv1d,
+    dense,
+    embedding,
+    layer_norm,
+    sinusoid_position_embedding,
+)
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def _stack(trees: list) -> dict:
+    """Stack a list of identical pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
+def _init_encoder_layer(rng, cfg: WhisperConfig) -> dict:
+    d = cfg.d_model
+    return {
+        "self_attn": init_attention(rng, d),
+        "self_attn_layer_norm": init_layer_norm(d),
+        "fc1": init_dense(rng, d, cfg.encoder_ffn_dim),
+        "fc2": init_dense(rng, cfg.encoder_ffn_dim, d),
+        "final_layer_norm": init_layer_norm(d),
+    }
+
+
+def _init_decoder_layer(rng, cfg: WhisperConfig) -> dict:
+    d = cfg.d_model
+    return {
+        "self_attn": init_attention(rng, d),
+        "self_attn_layer_norm": init_layer_norm(d),
+        "encoder_attn": init_attention(rng, d),
+        "encoder_attn_layer_norm": init_layer_norm(d),
+        "fc1": init_dense(rng, d, cfg.decoder_ffn_dim),
+        "fc2": init_dense(rng, cfg.decoder_ffn_dim, d),
+        "final_layer_norm": init_layer_norm(d),
+    }
+
+
+def init_params(cfg: WhisperConfig, seed: int = 0) -> dict:
+    """Random-init full parameter tree (HF-compatible statistics). Weight
+    loading from a real checkpoint replaces this via models/whisper/convert.py
+    (analog of reference: examples/whisper/build_encoder.py:72-91)."""
+    rng = np.random.default_rng(seed)
+    d = cfg.d_model
+    encoder = {
+        "conv1": init_conv1d(rng, 3, cfg.num_mel_bins, d),
+        "conv2": init_conv1d(rng, 3, d, d),
+        "embed_positions": sinusoid_position_embedding(cfg.max_source_positions, d),
+        "layers": _stack(
+            [_init_encoder_layer(rng, cfg) for _ in range(cfg.encoder_layers)]
+        ),
+        "layer_norm": init_layer_norm(d),
+    }
+    decoder = {
+        "embed_tokens": init_embedding(rng, cfg.vocab_size, d),
+        "embed_positions": init_embedding(rng, cfg.max_target_positions, d),
+        "layers": _stack(
+            [_init_decoder_layer(rng, cfg) for _ in range(cfg.decoder_layers)]
+        ),
+        "layer_norm": init_layer_norm(d),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+def cast_params(params, dtype) -> dict:
+    """Cast floating-point leaves to the compute dtype (bf16 weights for the
+    MXU; LayerNorm statistics stay fp32 inside ops.functional.layer_norm)."""
+    def cast(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+    return jax.tree_util.tree_map(cast, params)
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+def _encoder_layer(lp: dict, x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """Pre-LN block: self-attn + GELU MLP (reference:
+    tensorrt_llm/models/whisper/model.py:36-66)."""
+    h = layer_norm(lp["self_attn_layer_norm"], x)
+    q, k, v = attention_qkv(lp["self_attn"], h, None, heads)
+    a = merge_heads(mha(q, k, v, causal=False))
+    x = x + dense(lp["self_attn"]["out"], a)
+    h = layer_norm(lp["final_layer_norm"], x)
+    x = x + mlp_block(lp, h)
+    return x
+
+
+def encode(params: dict, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """mel (B, 3000, n_mels) → encoder states (B, 1500, d).
+
+    Conv stem is a true conv1d (the reference emulates it with Conv2d,
+    reference model.py:77-100), then +sinusoid positions, N scanned layers,
+    final LN (reference model.py:90-111).
+    """
+    enc = params["encoder"]
+    x = jax.nn.gelu(conv1d(enc["conv1"], mel, stride=1, padding=1), approximate=False)
+    x = jax.nn.gelu(conv1d(enc["conv2"], x, stride=2, padding=1), approximate=False)
+    x = x + enc["embed_positions"].astype(x.dtype)[None]
+
+    heads = cfg.encoder_attention_heads
+
+    def body(carry, lp):
+        return _encoder_layer(lp, carry, heads), None
+
+    x, _ = jax.lax.scan(body, x, enc["layers"])
+    return layer_norm(enc["layer_norm"], x)
+
+
+# --------------------------------------------------------------------------
+# decoder — teacher-forced full-sequence (parity tests / training)
+# --------------------------------------------------------------------------
+
+def _decoder_layer_full(
+    lp: dict, x: jnp.ndarray, enc_states: jnp.ndarray, heads: int
+) -> jnp.ndarray:
+    h = layer_norm(lp["self_attn_layer_norm"], x)
+    q, k, v = attention_qkv(lp["self_attn"], h, None, heads)
+    a = merge_heads(mha(q, k, v, causal=True))
+    x = x + dense(lp["self_attn"]["out"], a)
+
+    h = layer_norm(lp["encoder_attn_layer_norm"], x)
+    q, k, v = attention_qkv(lp["encoder_attn"], h, enc_states, heads)
+    a = merge_heads(mha(q, k, v, causal=False))
+    x = x + dense(lp["encoder_attn"]["out"], a)
+
+    h = layer_norm(lp["final_layer_norm"], x)
+    x = x + mlp_block(lp, h)
+    return x
+
+
+def decode_full(
+    params: dict,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,
+    enc_states: jnp.ndarray,
+) -> jnp.ndarray:
+    """Teacher-forced decoder forward: tokens (B, S) → logits (B, S, V)."""
+    dec = params["decoder"]
+    s = tokens.shape[1]
+    x = embedding(dec["embed_tokens"], tokens, dtype=enc_states.dtype)
+    x = x + dec["embed_positions"][:s].astype(x.dtype)[None]
+
+    heads = cfg.decoder_attention_heads
+
+    def body(carry, lp):
+        return _decoder_layer_full(lp, carry, enc_states, heads), None
+
+    x, _ = jax.lax.scan(body, x, dec["layers"])
+    x = layer_norm(dec["layer_norm"], x)
+    # tied vocab head (reference model.py:455-457 proj_out tied to embeddings)
+    logits = jnp.einsum(
+        "bsd,vd->bsv", x, dec["embed_tokens"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits
+
+
+# --------------------------------------------------------------------------
+# decoder — incremental decode with static caches
+# --------------------------------------------------------------------------
+
+def compute_cross_kv(
+    params: dict, cfg: WhisperConfig, enc_states: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-attention K/V for all layers, computed once per utterance:
+    (L, B, H, 1500, dh) ×2. The reference instead re-projects or slice/concats
+    encoder K/V *every step* through the engine boundary
+    (reference model.py:265-272) — this is the single biggest decode-loop
+    saving."""
+    heads = cfg.decoder_attention_heads
+
+    def body(_, lp):
+        ca = lp["encoder_attn"]
+        k = split_heads(dense(ca["k"], enc_states), heads)
+        v = split_heads(dense(ca["v"], enc_states), heads)
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(body, None, params["decoder"]["layers"])
+    return ks, vs
+
+
+def init_self_kv(
+    cfg: WhisperConfig, batch: int, max_len: Optional[int] = None, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static self-attention KV cache (L, B, H, max_len, dh) ×2."""
+    max_len = max_len or cfg.max_target_positions
+    shape = (
+        cfg.decoder_layers,
+        batch,
+        cfg.decoder_attention_heads,
+        max_len,
+        cfg.decoder_head_dim,
+    )
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def decode_step(
+    params: dict,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,
+    pos: jnp.ndarray,
+    self_k: jnp.ndarray,
+    self_v: jnp.ndarray,
+    cross_k: jnp.ndarray,
+    cross_v: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step for the whole batch, fully on device.
+
+    tokens: (B,) int32 current-step input; pos: scalar int32 position.
+    Returns (logits (B, V) fp32, updated self_k, self_v).
+
+    This is the TPU replacement for the reference's per-step engine enqueue
+    with shape inference + output malloc + 5 cache clones + synchronize
+    (reference: examples/whisper/run.py:128-148).
+    """
+    dec = params["decoder"]
+    heads = cfg.decoder_attention_heads
+
+    x = embedding(dec["embed_tokens"], tokens[:, None])
+    x = x + jax.lax.dynamic_slice_in_dim(
+        dec["embed_positions"], pos, 1, axis=0
+    ).astype(x.dtype)[None]
+
+    def body(x, xs):
+        lp, sk, sv, ck, cv = xs
+        # self-attention with cache append at `pos`
+        h = layer_norm(lp["self_attn_layer_norm"], x)
+        q, k_new, v_new = attention_qkv(lp["self_attn"], h, None, heads)
+        sk, sv = update_kv_cache(sk, sv, k_new, v_new, pos)
+        a = merge_heads(mha_decode_step(q, sk, sv, pos + 1))
+        x = x + dense(lp["self_attn"]["out"], a)
+        # cross-attention against precomputed K/V (always full encoder length)
+        h = layer_norm(lp["encoder_attn_layer_norm"], x)
+        d = x.shape[-1]
+        qc = split_heads(dense(lp["encoder_attn"]["q"], h) * (d // heads) ** -0.5, heads)
+        a = merge_heads(mha_decode_step(qc, ck, cv, jnp.int32(ck.shape[2])))
+        x = x + dense(lp["encoder_attn"]["out"], a)
+        # MLP
+        h = layer_norm(lp["final_layer_norm"], x)
+        x = x + mlp_block(lp, h)
+        return x, (sk, sv)
+
+    x, (self_k, self_v) = jax.lax.scan(
+        body, x, (dec["layers"], self_k, self_v, cross_k, cross_v)
+    )
+    x = layer_norm(dec["layer_norm"], x)
+    logits = jnp.einsum(
+        "bsd,vd->bsv", x, dec["embed_tokens"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    return logits, self_k, self_v

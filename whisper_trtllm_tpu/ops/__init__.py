@@ -1,0 +1,15 @@
+from whisper_trtllm_tpu.ops.functional import (  # noqa: F401
+    ACT2FN,
+    dense,
+    embedding,
+    gelu,
+    layer_norm,
+    rms_norm,
+    softmax_fp32,
+    sinusoid_position_embedding,
+)
+from whisper_trtllm_tpu.ops.attention import (  # noqa: F401
+    mha,
+    mha_decode_step,
+    init_kv_cache,
+)

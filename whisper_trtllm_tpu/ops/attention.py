@@ -1,0 +1,121 @@
+"""Attention ops (XLA path) over (B, H, S, dh) tensors.
+
+This single masked, static-shape formulation subsumes the reference's entire
+attention surface:
+
+- encoder bidirectional MHA (reference: bertAttentionPlugin,
+  cpp/tensorrt_llm/plugins/bertAttentionPlugin/bertAttentionPlugin.cpp);
+- the 4-mode ``WhisperDecoderAttention`` self/cross × with/without-KV-cache
+  matrix (reference: tensorrt_llm/models/whisper/model.py:153-304), which the
+  reference encodes through the *shape* of a dummy cache-mask tensor
+  (model.py:264,278) because TRT cannot branch on values. On TPU the cache is
+  a fixed-size buffer plus an integer length and a mask — no dynamic shapes,
+  no recompilation (SURVEY.md §7 design inversion 2);
+- the generation-phase masked MHA kernel
+  (reference: cpp/tensorrt_llm/kernels/decoderMaskedMultiheadAttention*).
+
+Pallas fused variants for the hot paths live in ops/pallas/.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from whisper_trtllm_tpu.ops.functional import softmax_fp32
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    fp32_softmax: bool = True,
+) -> jnp.ndarray:
+    """Full-sequence attention. q: (B, H, S, dh); k, v: (B, Hkv, T, dh).
+
+    ``Hkv`` may be 1 (multi-query, reference:
+    tensorrt_llm/layers/attention.py:72,112-120) or divide H (grouped-query).
+    ``q`` is expected pre-scaled by dh**-0.5 (Whisper convention). ``mask``
+    is additive (0 / -inf), broadcastable to (B, H, S, T).
+    """
+    b, h, s, dh = q.shape
+    hkv = k.shape[1]
+    if hkv != h:
+        assert h % hkv == 0
+        k = jnp.repeat(k, h // hkv, axis=1)
+        v = jnp.repeat(v, h // hkv, axis=1)
+    scores = jnp.einsum(
+        "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+    )
+    if causal:
+        t = k.shape[2]
+        causal_mask = jnp.tril(jnp.ones((s, t), dtype=bool), k=t - s)
+        scores = jnp.where(causal_mask[None, None], scores, jnp.float32(-1e9))
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    if fp32_softmax:
+        weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    else:
+        weights = jax.nn.softmax(scores.astype(q.dtype), axis=-1)
+    return jnp.einsum("bhst,bhtd->bhsd", weights, v, preferred_element_type=q.dtype)
+
+
+def init_kv_cache(
+    batch: int, heads: int, max_len: int, head_dim: int, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Preallocated static KV cache (B, H, max_len, dh) ×2. The analog of the
+    reference's per-step growing past tensors
+    (reference: tensorrt_llm/models/whisper/model.py:427-437) and the paged
+    KVCacheManager pool (reference:
+    tensorrt_llm/runtime/kv_cache_manager.py:214-292)."""
+    shape = (batch, heads, max_len, head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def update_kv_cache(
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    pos: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """In-place (donated) write of the current step's K/V at position ``pos``.
+    k_new/v_new: (B, H, 1, dh)."""
+    zero = jnp.zeros((), jnp.int32)
+    idx = (zero, zero, pos.astype(jnp.int32), zero)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype), idx)
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype), idx)
+    return cache_k, cache_v
+
+
+def mha_decode_step(
+    q: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    valid_len: jnp.ndarray,
+    fp32_softmax: bool = True,
+) -> jnp.ndarray:
+    """Single-token attention against a static cache.
+
+    q: (B, H, 1, dh); cache: (B, H, Tmax, dh); valid_len: scalar int — number
+    of valid cache positions. Positions >= valid_len are masked out, which is
+    how one static shape serves every step (and both self- and cross-
+    attention: for cross, valid_len is the constant encoder length).
+    """
+    scores = jnp.einsum(
+        "bhqd,bhtd->bhqt", q, cache_k, preferred_element_type=jnp.float32
+    )
+    t = cache_k.shape[2]
+    pos_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
+    scores = jnp.where(pos_ids < valid_len, scores, jnp.float32(-1e9))
+    if fp32_softmax:
+        weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    else:
+        weights = jax.nn.softmax(scores.astype(q.dtype), axis=-1)
+    return jnp.einsum(
+        "bhqt,bhtd->bhqd", weights, cache_v, preferred_element_type=q.dtype
+    )

@@ -1,0 +1,130 @@
+"""The functional op core: pure jnp functions over parameter pytrees.
+
+Analog of the reference's graph-functional layer
+(reference: tensorrt_llm/functional.py — ~70 free functions that each append a
+TRT network node). On TPU there is no graph DSL to maintain: JAX *is* the
+tracer, so these are ordinary functions that XLA fuses; the module/network/
+builder machinery (reference: tensorrt_llm/module.py, network.py, builder.py)
+collapses into jit + pytrees (SURVEY.md §7 design inversion 1).
+
+Parameter convention: dicts with ``kernel`` of shape (in, out) and optional
+``bias`` of shape (out,) — transposed from torch at conversion time so every
+matmul is a plain row-major MXU dot.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf-based) GELU — Whisper uses torch.nn.functional.gelu default
+    (reference: tensorrt_llm/functional.py gelu + ACT2FN table :3383)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACT2FN = {
+    "gelu": gelu,
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+    "tanh": jnp.tanh,
+}
+
+
+def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """x @ kernel + bias. kernel: (in, out).
+
+    Analog of Linear/ColumnLinear/RowLinear minus the TP collectives
+    (reference: tensorrt_llm/layers/linear.py:38-139) — on TPU the collective
+    is inserted by XLA from the sharding of ``kernel``, not hand-written.
+    """
+    y = jnp.dot(x, params["kernel"], preferred_element_type=x.dtype)
+    if "bias" in params and params["bias"] is not None:
+        y = y + params["bias"].astype(y.dtype)
+    return y
+
+
+def layer_norm(params: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm with fp32 statistics regardless of compute dtype
+    (analog of layernormPlugin, reference:
+    cpp/tensorrt_llm/plugins/layernormPlugin/layernormPlugin.cpp — XLA fuses
+    this chain; a Pallas variant lives in ops/pallas/layer_norm.py)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32)
+    if "bias" in params and params["bias"] is not None:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def rms_norm(params: dict, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """RMSNorm (reference: tensorrt_llm/functional.py:3195) — used by the
+    LLaMA-family zoo models, not Whisper."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps) * params["scale"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def embedding(table: jnp.ndarray, ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """Token embedding gather (analog of lookupPlugin, reference:
+    cpp/tensorrt_llm/plugins/lookupPlugin/lookupPlugin.cpp) — with a sharded
+    table XLA lowers this to a distributed gather, no plugin needed."""
+    out = jnp.take(table, ids, axis=0)
+    return out.astype(dtype) if dtype is not None else out
+
+
+def softmax_fp32(scores: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """Softmax computed in fp32 — mirrors the reference's forced-fp32
+    attention core (reference: tensorrt_llm/models/whisper/model.py:292-295)."""
+    out = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    return out.astype(dtype or scores.dtype)
+
+
+def sinusoid_position_embedding(length: int, channels: int) -> np.ndarray:
+    """Whisper encoder sinusoids: first half sin, second half cos, with
+    log-timescale increment ln(10000)/(channels//2 - 1). Matches the constant
+    weight the reference binds at build time
+    (reference: examples/whisper/build_encoder.py:74 /
+    tensorrt_llm/models/whisper/model.py:92-95)."""
+    assert channels % 2 == 0
+    log_timescale_increment = math.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(
+        np.float32
+    )
+
+
+def conv1d(
+    params: dict, x: jnp.ndarray, stride: int = 1, padding: int = 1
+) -> jnp.ndarray:
+    """1-D convolution over time-major input (B, T, C_in) with kernel
+    (K, C_in, C_out).
+
+    A real conv1d — the reference had to emulate it with Conv2d because
+    TRT-LLM lacked one (reference: tensorrt_llm/models/whisper/model.py:77-79,
+    96-100); XLA lowers this straight onto the MXU.
+    """
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["kernel"],
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=x.dtype,
+    )
+    if "bias" in params and params["bias"] is not None:
+        y = y + params["bias"].astype(y.dtype)
+    return y

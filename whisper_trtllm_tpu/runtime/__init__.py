@@ -1,0 +1,5 @@
+from whisper_trtllm_tpu.runtime.generation import (  # noqa: F401
+    greedy_decode,
+    transcribe_tokens,
+)
+from whisper_trtllm_tpu.runtime.session import WhisperSession  # noqa: F401

@@ -1,0 +1,137 @@
+"""Generation runtime: fully on-device greedy (and beam) decoding.
+
+Analog of the reference's GenerationSession + greedy_search
+(reference: tensorrt_llm/runtime/generation.py:104-1000 and
+examples/whisper/run.py:171-227), redesigned per SURVEY.md §7 inversion 3:
+the token loop is a ``lax.while_loop`` *inside one jit* — KV caches stay
+resident in HBM (donated across steps), logits processors are vectorized
+masks, EOS tracking is a boolean lane — so the per-step host round-trips,
+output mallocs and cache clones of the reference
+(examples/whisper/run.py:128-148) go to zero.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+from whisper_trtllm_tpu.models.whisper import model as wmodel
+from whisper_trtllm_tpu.runtime import logits_process as lp
+
+
+class GreedyState(NamedTuple):
+    """Decode-loop carry (analog of the reference's ad-hoc per-step buffers,
+    examples/whisper/run.py:195-225)."""
+
+    tokens: jnp.ndarray    # (B, max_len) i32
+    pos: jnp.ndarray       # scalar i32 — index of the last filled position
+    finished: jnp.ndarray  # (B,) bool
+    self_k: jnp.ndarray    # (L, B, H, max_len, dh)
+    self_v: jnp.ndarray
+
+
+def _greedy_decode_impl(
+    params: dict,
+    cfg: WhisperConfig,
+    enc_states: jnp.ndarray,
+    max_len: int,
+    suppress_mask: jnp.ndarray,
+    begin_suppress_mask: jnp.ndarray,
+    forced_map: jnp.ndarray,
+    begin_index: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """enc_states (B, 1500, d) → (tokens (B, max_len), lengths (B,))."""
+    batch = enc_states.shape[0]
+    cache_dtype = enc_states.dtype
+
+    cross_k, cross_v = wmodel.compute_cross_kv(params, cfg, enc_states)
+    self_k, self_v = wmodel.init_self_kv(cfg, batch, max_len, dtype=cache_dtype)
+
+    tokens0 = jnp.full((batch, max_len), cfg.pad_token_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(cfg.decoder_start_token_id)
+
+    state = GreedyState(
+        tokens=tokens0,
+        pos=jnp.int32(0),
+        finished=jnp.zeros((batch,), bool),
+        self_k=self_k,
+        self_v=self_v,
+    )
+
+    def cond(s: GreedyState):
+        return jnp.logical_and(s.pos < max_len - 1, ~jnp.all(s.finished))
+
+    def body(s: GreedyState):
+        cur = jax.lax.dynamic_index_in_dim(s.tokens, s.pos, axis=1, keepdims=False)
+        logits, sk, sv = wmodel.decode_step(
+            params, cfg, cur, s.pos, s.self_k, s.self_v, cross_k, cross_v
+        )
+        nxt_pos = s.pos + 1
+        logits = logits + suppress_mask[None]
+        logits = jnp.where(nxt_pos == begin_index, logits + begin_suppress_mask[None], logits)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        forced = forced_map[nxt_pos]
+        nxt = jnp.where(forced >= 0, forced, nxt)
+        nxt = jnp.where(s.finished, jnp.int32(cfg.pad_token_id), nxt)
+        finished = jnp.logical_or(s.finished, nxt == cfg.eos_token_id)
+        tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, nxt_pos))
+        return GreedyState(tokens, nxt_pos, finished, sk, sv)
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    # length = index of first EOS + 1 (incl.), else max_len
+    is_eos = final.tokens == cfg.eos_token_id
+    any_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    lengths = jnp.where(any_eos, first_eos + 1, max_len).astype(jnp.int32)
+    return final.tokens, lengths
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_greedy(cfg: WhisperConfig, max_len: int, donate: bool):
+    suppress_mask = jnp.asarray(lp.build_suppress_mask(cfg))
+    begin_mask = jnp.asarray(lp.build_begin_suppress_mask(cfg))
+    forced_map_np, begin_index = lp.build_forced_map(cfg, max_len)
+    forced_map = jnp.asarray(forced_map_np)
+
+    def fn(params, enc_states):
+        return _greedy_decode_impl(
+            params, cfg, enc_states, max_len,
+            suppress_mask, begin_mask, forced_map, begin_index,
+        )
+
+    return jax.jit(fn)
+
+
+def greedy_decode(
+    params: dict,
+    cfg: WhisperConfig,
+    enc_states: jnp.ndarray,
+    gen: Optional[GenerationConfig] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched greedy search. Returns (tokens (B, max_len), lengths (B,)).
+
+    Tokens include the decoder_start prompt and forced prefix; positions at
+    and after EOS hold pad_token_id (mirrors the reference's EOS masking,
+    examples/whisper/run.py:205-217).
+    """
+    gen = gen or GenerationConfig()
+    max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)
+    return _compiled_greedy(cfg, max_len, True)(params, enc_states)
+
+
+def transcribe_tokens(
+    params: dict,
+    cfg: WhisperConfig,
+    mel: jnp.ndarray,
+    gen: Optional[GenerationConfig] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """mel (B, 3000, n_mels) → (tokens, lengths): encode + greedy decode,
+    end to end on device."""
+    enc = wmodel.encode(params, cfg, mel)
+    return greedy_decode(params, cfg, enc, gen)

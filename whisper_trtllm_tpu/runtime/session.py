@@ -1,0 +1,111 @@
+"""Serving session: device-resident weights + AOT-compiled pipeline.
+
+Analog of the reference's Session/GenerationSession pair
+(reference: tensorrt_llm/runtime/session.py:27-207,
+tensorrt_llm/runtime/generation.py:104-1000 and the engine wrappers in
+examples/whisper/run.py:57-148). Differences by design:
+
+- "engine load" = device_put of the weight tree (+ optional sharding);
+- "engine execution contract" = jitted function signatures, no name-string
+  I/O binding;
+- per-batch-shape executables are cached (the analog of TRT optimization
+  profiles, reference: tensorrt_llm/builder.py:144-160).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_trtllm_tpu.config import (
+    GenerationConfig,
+    MeshConfig,
+    RuntimeConfig,
+    WhisperConfig,
+)
+from whisper_trtllm_tpu.audio.features import LogMelSpectrogram, pad_or_trim
+from whisper_trtllm_tpu.models.whisper import model as wmodel
+from whisper_trtllm_tpu.runtime import generation as gen_rt
+
+
+class WhisperSession:
+    """End-to-end ASR serving: audio/mel in, token ids (+lengths) out."""
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: WhisperConfig,
+        generation: Optional[GenerationConfig] = None,
+        runtime: Optional[RuntimeConfig] = None,
+        mesh: Optional["jax.sharding.Mesh"] = None,
+    ):
+        self.cfg = cfg
+        self.generation = generation or GenerationConfig()
+        self.runtime = runtime or RuntimeConfig()
+        self.mesh = mesh
+
+        if self.runtime.persistent_cache_dir:
+            from whisper_trtllm_tpu.utils.checkpoint import init_compilation_cache
+
+            init_compilation_cache(self.runtime.persistent_cache_dir)
+
+        dtype = jnp.dtype(self.runtime.compute_dtype)
+        params = wmodel.cast_params(params, dtype)
+        if mesh is not None:
+            from whisper_trtllm_tpu.parallel.partition import shard_params
+
+            self.params = shard_params(params, mesh)
+        else:
+            self.params = jax.device_put(params)
+        self.frontend = LogMelSpectrogram(cfg.num_mel_bins, dtype=dtype)
+        self._dtype = dtype
+
+    # -- compiled pipelines (cached per call signature) ----------------------
+    @functools.cached_property
+    def _pipeline(self):
+        cfg, gen = self.cfg, self.generation
+
+        def fn(params, mel):
+            return gen_rt.transcribe_tokens(params, cfg, mel, gen)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = NamedSharding(self.mesh, P("data"))
+            return jax.jit(fn, in_shardings=(None, data))
+        return jax.jit(fn)
+
+    @functools.cached_property
+    def _encode(self):
+        cfg = self.cfg
+        return jax.jit(lambda params, mel: wmodel.encode(params, cfg, mel))
+
+    # -- public API -----------------------------------------------------------
+    def transcribe_features(self, mel) -> Tuple[np.ndarray, np.ndarray]:
+        """mel (B, 3000, n_mels) → (tokens (B, max_len), lengths (B,))."""
+        mel = jnp.asarray(mel, self._dtype)
+        tokens, lengths = self._pipeline(self.params, mel)
+        return np.asarray(tokens), np.asarray(lengths)
+
+    def transcribe(self, audio) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw audio (B, n_samples) 16 kHz → (tokens, lengths); pads/trims to
+        30 s and runs the on-device frontend."""
+        audio = np.atleast_2d(np.asarray(audio))
+        mel = self.frontend.jit()(jnp.asarray(pad_or_trim(audio)))
+        tokens, lengths = self._pipeline(self.params, mel.astype(self._dtype))
+        return np.asarray(tokens), np.asarray(lengths)
+
+    def encode(self, mel) -> jnp.ndarray:
+        return self._encode(self.params, jnp.asarray(mel, self._dtype))
+
+    def warmup(self, batch: int = 1) -> None:
+        """Pre-compile for a batch size (the analog of engine build; with a
+        persistent cache dir this is one-time per topology)."""
+        mel = jnp.zeros((batch, 2 * self.cfg.max_source_positions,
+                         self.cfg.num_mel_bins), self._dtype)
+        tokens, _ = self._pipeline(self.params, mel)
+        tokens.block_until_ready()
