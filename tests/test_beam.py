@@ -1,0 +1,101 @@
+"""Beam-search parity vs HF torch beam search on tiny random models
+(analog of reference beam coverage via C++ kernels + generation.py:898-975)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+from whisper_trtllm_tpu.models.whisper import convert_hf_model, encode
+from whisper_trtllm_tpu.runtime.beam import beam_decode
+
+
+# function-scoped: HF generate() mutates the model's generation_config, so a
+# shared model gives different (truncated/stripped) outputs on the 2nd call
+@pytest.fixture()
+def hf_pair():
+    import torch
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    torch.manual_seed(3)
+    hf_cfg = HFConfig(
+        vocab_size=53,
+        num_mel_bins=8,
+        d_model=24,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        decoder_layers=2,
+        decoder_attention_heads=4,
+        encoder_ffn_dim=48,
+        decoder_ffn_dim=48,
+        max_source_positions=12,
+        max_target_positions=12,
+        decoder_start_token_id=1,
+        eos_token_id=2,
+        pad_token_id=0,
+        bos_token_id=1,
+        suppress_tokens=[],
+        begin_suppress_tokens=[],
+    )
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    params, cfg = convert_hf_model(hf)
+    return hf, params, cfg
+
+
+@pytest.mark.parametrize("num_beams", [2, 4])
+def test_beam_matches_hf(hf_pair, rng, num_beams):
+    import torch
+
+    hf, params, cfg = hf_pair
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+
+    max_new = cfg.max_target_positions - 2
+    with torch.no_grad():
+        theirs = hf.generate(
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            max_new_tokens=max_new,
+            num_beams=num_beams,
+            do_sample=False,
+            length_penalty=1.0,
+            early_stopping=True,
+        ).numpy()
+
+    enc = jax.jit(lambda p, m: encode(p, cfg, m))(params, mel)
+    tokens, scores, lengths = beam_decode(
+        params, cfg, enc,
+        GenerationConfig(max_new_tokens=max_new, num_beams=num_beams),
+    )
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+
+    def normalize(seq):
+        # HF whisper generate post-processes its output (strips the
+        # decoder_start prompt and trailing EOS/pad); compare core content
+        seq = np.asarray(seq)
+        if len(seq) and seq[0] == cfg.decoder_start_token_id:
+            seq = seq[1:]
+        while len(seq) and seq[-1] in (cfg.pad_token_id, cfg.eos_token_id):
+            seq = seq[:-1]
+        return seq
+
+    for b in range(mel.shape[0]):
+        ours_b = normalize(tokens[b, 0, : lengths[b, 0]])
+        theirs_b = normalize(theirs[b])
+        np.testing.assert_array_equal(ours_b, theirs_b)
+
+
+def test_beam_scores_sorted_and_finite(hf_pair, rng):
+    hf, params, cfg = hf_pair
+    mel = rng.standard_normal(
+        (3, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    enc = jax.jit(lambda p, m: encode(p, cfg, m))(params, mel)
+    tokens, scores, lengths = beam_decode(
+        params, cfg, enc, GenerationConfig(max_new_tokens=8, num_beams=3)
+    )
+    scores = np.asarray(scores)
+    assert (np.diff(scores, axis=1) <= 1e-6).all()  # best-first
+    assert np.isfinite(scores[:, 0]).all()

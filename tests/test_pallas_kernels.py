@@ -1,0 +1,53 @@
+"""Pallas kernels vs XLA reference ops (interpret mode on CPU) — the
+reference's op-test tier (reference: tests/functional/, tests/attention/
+test_bert_attention.py:36-150)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_trtllm_tpu.ops.attention import mha, mha_decode_step
+from whisper_trtllm_tpu.ops.pallas.decode_attention import decode_mha
+from whisper_trtllm_tpu.ops.pallas.flash_attention import flash_mha
+
+
+@pytest.mark.parametrize("b,h,s,t,dh", [(2, 4, 128, 128, 64), (1, 2, 200, 200, 64)])
+def test_flash_mha_matches_xla(rng, b, h, s, t, dh):
+    q = rng.standard_normal((b, h, s, dh)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, h, t, dh)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, h, t, dh)).astype(np.float32)
+    ref = np.asarray(mha(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    out = np.asarray(
+        flash_mha(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("valid_len", [1, 7, 16])
+def test_decode_mha_matches_xla(rng, valid_len):
+    b, h, t, dh = 2, 4, 16, 64
+    q = rng.standard_normal((b, h, 1, dh)).astype(np.float32) * 0.3
+    ck = rng.standard_normal((b, h, t, dh)).astype(np.float32) * 0.3
+    cv = rng.standard_normal((b, h, t, dh)).astype(np.float32)
+    ref = np.asarray(
+        mha_decode_step(
+            jnp.asarray(q), jnp.asarray(ck), jnp.asarray(cv), jnp.int32(valid_len)
+        )
+    )
+    out = np.asarray(
+        decode_mha(
+            jnp.asarray(q), jnp.asarray(ck), jnp.asarray(cv),
+            jnp.int32(valid_len), interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_mha_bf16(rng):
+    b, h, s, dh = 1, 2, 128, 64
+    q = (rng.standard_normal((b, h, s, dh)) * 0.3).astype(jnp.bfloat16)
+    k = (rng.standard_normal((b, h, s, dh)) * 0.3).astype(jnp.bfloat16)
+    v = rng.standard_normal((b, h, s, dh)).astype(jnp.bfloat16)
+    ref = np.asarray(mha(q, k, v).astype(jnp.float32))
+    out = np.asarray(flash_mha(q, k, v, interpret=True).astype(jnp.float32))
+    np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)

@@ -1,0 +1,96 @@
+"""Sharding tests on the virtual 8-device CPU mesh — cluster-free
+distributed testing the reference lacks (SURVEY.md §4: multi-GPU only via
+mpirun examples, not CI-tested)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from whisper_trtllm_tpu.config import GenerationConfig, MeshConfig, WhisperConfig
+from whisper_trtllm_tpu.models.whisper import init_params
+from whisper_trtllm_tpu.parallel import make_mesh, param_partition_specs, shard_params
+from whisper_trtllm_tpu.runtime.generation import transcribe_tokens
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return WhisperConfig.testing(
+        d_model=64,
+        encoder_attention_heads=4,
+        decoder_attention_heads=4,
+        encoder_ffn_dim=128,
+        decoder_ffn_dim=128,
+        vocab_size=128,
+        forced_decoder_ids=((1, 11),),
+    )
+
+
+def test_mesh_and_param_shardings(cfg):
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    params = shard_params(init_params(cfg, seed=0), mesh)
+    # column-parallel q kernel sharded on output dim over 'model'
+    qk = params["decoder"]["layers"]["self_attn"]["q"]["kernel"]
+    assert qk.sharding.spec == P(None, None, "model")
+    # row-parallel out kernel sharded on input dim
+    ok = params["decoder"]["layers"]["self_attn"]["out"]["kernel"]
+    assert ok.sharding.spec == P(None, "model", None)
+    # replicated embed table
+    assert params["decoder"]["embed_tokens"].sharding.spec == P()
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (2, 4)])
+def test_sharded_inference_matches_single_device(cfg, rng, mesh_shape):
+    """TP+DP execution must be numerically identical to single-device — the
+    analog of the reference running TP plumbing with world_size=1
+    (reference: tests/model/test_gpt.py:60-61), but with real 8-way sharding."""
+    gen = GenerationConfig(max_new_tokens=8)
+    params = init_params(cfg, seed=0)
+    mel = rng.standard_normal(
+        (8, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+
+    ref_tokens, ref_lens = jax.jit(
+        lambda p, m: transcribe_tokens(p, cfg, m, gen)
+    )(params, mel)
+
+    mesh = make_mesh(MeshConfig(*mesh_shape))
+    sharded = shard_params(params, mesh)
+    mel_sharded = jax.device_put(mel, NamedSharding(mesh, P("data")))
+    with mesh:
+        tokens, lens = jax.jit(lambda p, m: transcribe_tokens(p, cfg, m, gen))(
+            sharded, mel_sharded
+        )
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(ref_lens))
+
+
+def test_train_step_sharded_matches_unsharded(cfg, rng):
+    import optax
+
+    from whisper_trtllm_tpu.training import make_train_step
+
+    params = init_params(cfg, seed=0)
+    batch = 4
+    mel = rng.standard_normal(
+        (batch, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens = rng.integers(0, cfg.vocab_size, (batch, 8)).astype(np.int32)
+    mask = np.ones((batch, 7), np.float32)
+
+    opt = optax.sgd(1e-2)
+    init_opt, step = make_train_step(cfg, opt)
+    _, _, loss_ref = step(params, init_opt(params), mel, tokens, mask)
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    sp = shard_params(init_params(cfg, seed=0), mesh)
+    ds = NamedSharding(mesh, P("data"))
+    init_opt2, step2 = make_train_step(cfg, opt, mesh=mesh)
+    with mesh:
+        p2, _, loss_sharded = step2(
+            sp, init_opt2(sp),
+            jax.device_put(mel, ds), jax.device_put(tokens, ds),
+            jax.device_put(mask, ds),
+        )
+    np.testing.assert_allclose(float(loss_ref), float(loss_sharded), rtol=1e-5)

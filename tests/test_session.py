@@ -1,0 +1,69 @@
+"""Session-level API tests (analog of reference: tests/test_session.py:19-57)."""
+
+import numpy as np
+import pytest
+
+from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+from whisper_trtllm_tpu.models.whisper import init_params
+from whisper_trtllm_tpu.runtime import WhisperSession
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return WhisperConfig.testing()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_params(cfg, seed=0)
+
+
+def test_transcribe_features(cfg, params, rng):
+    sess = WhisperSession(params, cfg, GenerationConfig(max_new_tokens=8))
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens, lengths = sess.transcribe_features(mel)
+    assert tokens.shape[0] == 2 and lengths.shape == (2,)
+    assert (tokens[:, 0] == cfg.decoder_start_token_id).all()
+
+
+def test_beam_session(cfg, params, rng):
+    sess = WhisperSession(
+        params, cfg, GenerationConfig(max_new_tokens=8, num_beams=3)
+    )
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens, lengths = sess.transcribe_features(mel)
+    assert tokens.shape[0] == 2
+    assert (tokens[:, 0] == cfg.decoder_start_token_id).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, cfg, params):
+    import jax
+
+    from whisper_trtllm_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    save_checkpoint(str(tmp_path / "ckpt"), params, cfg)
+    params2, cfg2 = load_checkpoint(str(tmp_path / "ckpt"))
+    assert cfg2 == cfg
+    leaves1 = jax.tree_util.tree_leaves(params)
+    leaves2 = jax.tree_util.tree_leaves(params2)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_session_runs(cfg, params, rng):
+    from whisper_trtllm_tpu.config import RuntimeConfig
+
+    sess = WhisperSession(
+        params, cfg, GenerationConfig(max_new_tokens=4),
+        RuntimeConfig(compute_dtype="bfloat16"),
+    )
+    mel = rng.standard_normal(
+        (1, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens, lengths = sess.transcribe_features(mel)
+    assert np.isfinite(lengths).all()

@@ -1,0 +1,27 @@
+"""Training-step sanity: loss is finite and decreases on a fixed batch."""
+
+import numpy as np
+import optax
+
+from whisper_trtllm_tpu.config import WhisperConfig
+from whisper_trtllm_tpu.models.whisper import init_params
+from whisper_trtllm_tpu.training import cross_entropy_loss, make_train_step
+
+
+def test_loss_decreases(rng):
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    mask = np.ones((2, 7), np.float32)
+
+    init_opt, step = make_train_step(cfg, optax.adam(1e-3))
+    opt_state = init_opt(params)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, mel, tokens, mask)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

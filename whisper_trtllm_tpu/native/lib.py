@@ -1,0 +1,156 @@
+"""ctypes bindings for the native runtime library (cpp/ → libwtpu.so).
+
+The reference crosses the Python↔C++ boundary through torch extension ops
+loaded from .so files (reference: tensorrt_llm/_common.py:25-32 loading
+libnvinfer_plugin_tensorrt_llm.so / libth_common.so); here a plain C ABI via
+ctypes — no torch in the serving path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CPP_DIR = os.path.join(_REPO_ROOT, "cpp")
+_SO_PATH = os.path.join(_CPP_DIR, "build", "libwtpu.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def build_native(verbose: bool = False) -> str:
+    """Build libwtpu.so with cmake+ninja (one-time; analog of the reference's
+    scripts/build_cpp_lib.sh)."""
+    subprocess.run(
+        ["cmake", "-B", "build", "-G", "Ninja"],
+        cwd=_CPP_DIR, check=True,
+        capture_output=not verbose,
+    )
+    subprocess.run(
+        ["ninja", "-C", "build"], cwd=_CPP_DIR, check=True,
+        capture_output=not verbose,
+    )
+    return _SO_PATH
+
+
+def load_library(auto_build: bool = True) -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH) and auto_build:
+        build_native()
+    lib = ctypes.CDLL(_SO_PATH)
+
+    lib.wtpu_load_wav16k.restype = ctypes.c_int64
+    lib.wtpu_load_wav16k.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    lib.wtpu_slot_manager_new.restype = ctypes.c_void_p
+    lib.wtpu_slot_manager_new.argtypes = [ctypes.c_int]
+    lib.wtpu_slot_manager_free.argtypes = [ctypes.c_void_p]
+    lib.wtpu_submit.restype = ctypes.c_int64
+    lib.wtpu_submit.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    lib.wtpu_schedule.restype = ctypes.c_int
+    lib.wtpu_schedule.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    lib.wtpu_complete.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.wtpu_fetch.restype = ctypes.c_int64
+    lib.wtpu_fetch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.wtpu_pending.restype = ctypes.c_int64
+    lib.wtpu_pending.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        load_library(auto_build=True)
+        return True
+    except Exception:
+        return False
+
+
+def load_wav_16k(data: bytes, max_seconds: float = 120.0) -> np.ndarray:
+    """Decode a WAV blob to 16 kHz mono float32 via the native decoder."""
+    lib = load_library()
+    capacity = int(max_seconds * 16000)
+    out = np.empty(capacity, np.float32)
+    n = lib.wtpu_load_wav16k(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), capacity,
+    )
+    if n < 0:
+        raise ValueError("malformed WAV data")
+    return out[:n].copy()
+
+
+class NativeSlotManager:
+    """Python handle on the C++ SlotManager (request queue + batch slots)."""
+
+    def __init__(self, num_slots: int, max_samples: int = 480000):
+        self._lib = load_library()
+        self._ptr = self._lib.wtpu_slot_manager_new(num_slots)
+        self.num_slots = num_slots
+        self.max_samples = max_samples
+
+    def __del__(self):
+        if getattr(self, "_ptr", None):
+            self._lib.wtpu_slot_manager_free(self._ptr)
+            self._ptr = None
+
+    def submit(self, audio: np.ndarray) -> int:
+        audio = np.ascontiguousarray(audio, np.float32)
+        return self._lib.wtpu_submit(
+            self._ptr,
+            audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(audio),
+        )
+
+    def schedule(self):
+        """Returns (request_ids (S,), audio batch (S, max_samples), active)."""
+        ids = np.empty(self.num_slots, np.int64)
+        audio = np.empty((self.num_slots, self.max_samples), np.float32)
+        active = self._lib.wtpu_schedule(
+            self._ptr,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.max_samples,
+        )
+        return ids, audio, active
+
+    def complete(self, slot: int, tokens: np.ndarray) -> None:
+        tokens = np.ascontiguousarray(tokens, np.int32)
+        self._lib.wtpu_complete(
+            self._ptr, slot,
+            tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(tokens),
+        )
+
+    def fetch(self, request_id: int, capacity: int = 512):
+        tokens = np.empty(capacity, np.int32)
+        n = self._lib.wtpu_fetch(
+            self._ptr, request_id,
+            tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), capacity,
+        )
+        if n < 0:
+            return None
+        return tokens[:n].copy()
+
+    @property
+    def pending(self) -> int:
+        return self._lib.wtpu_pending(self._ptr)

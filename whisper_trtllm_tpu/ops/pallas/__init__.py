@@ -1,0 +1,28 @@
+"""Pallas TPU kernels for the hot attention paths.
+
+TPU-native replacements for the reference's CUDA plugin kernels:
+- flash_attention — encoder bidirectional fused MHA
+  (≙ bertAttentionPlugin + contextFusedMultiHeadAttention cubins)
+- decode_attention — single-token masked MHA against a static KV cache
+  (≙ decoderMaskedMultiheadAttention + the WhisperDecoderAttention matrix)
+
+Selection: kernels engage on the TPU backend unless disabled via
+WHISPER_TPU_DISABLE_PALLAS=1 (the analog of PluginConfig feature flags,
+reference: tensorrt_llm/plugin/plugin.py:33-140).
+"""
+
+import os
+
+
+def pallas_enabled() -> bool:
+    if os.environ.get("WHISPER_TPU_DISABLE_PALLAS") == "1":
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+from whisper_trtllm_tpu.ops.pallas.flash_attention import flash_mha  # noqa: E402,F401
+from whisper_trtllm_tpu.ops.pallas.decode_attention import (  # noqa: E402,F401
+    decode_mha,
+)

@@ -1,0 +1,91 @@
+"""Fused bidirectional multi-head attention (encoder self-attention).
+
+Replaces the reference's bertAttentionPlugin / FMHA-v2 cubins
+(reference: cpp/tensorrt_llm/plugins/bertAttentionPlugin/
+bertAttentionPlugin.cpp, cpp/tensorrt_llm/kernels/
+contextFusedMultiHeadAttention/). The (S, T) score matrix lives only in
+VMEM per (batch, head, q-block) program — never materialized in HBM, which
+is the XLA fallback's main memory cost at S=1500.
+
+Whisper encoder K/V for one head (1536x64 fp32 ≈ 0.4 MB) fit comfortably in
+VMEM, so each program loads full K/V and does one exact fp32 softmax — no
+online-softmax recurrence needed at these sequence lengths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BQ = 128  # q-block rows
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
+    q = q_ref[0, 0]                    # (BQ, dh)
+    k = k_ref[0, 0]                    # (T, dh)
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                          # (BQ, T) fp32
+    t = k.shape[0]
+    if valid_len < t:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid_len, s, jnp.float32(-1e9))
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p, v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=v.dtype,
+    )
+
+
+def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bidirectional attention. q: (B, H, S, dh), k/v: (B, H, T, dh); q is
+    expected pre-scaled (Whisper convention) — no extra scaling applied.
+    Returns (B, H, S, dh)."""
+    b, h, s, dh = q.shape
+    t = k.shape[2]
+    qp = _pad_to(q, 2, BQ)
+    kp = _pad_to(k, 2, 8)
+    vp = _pad_to(v, 2, 8)
+    sp, tp = qp.shape[2], kp.shape[2]
+
+    grid = (b, h, sp // BQ)
+    out = pl.pallas_call(
+        functools.partial(_kernel, valid_len=t, scale=1.0),
+        out_shape=jax.ShapeDtypeStruct((b, h, sp, dh), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, BQ, dh), lambda i, j, n: (i, j, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tp, dh), lambda i, j, n: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tp, dh), lambda i, j, n: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, BQ, dh), lambda i, j, n: (i, j, n, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :, :s]

@@ -1,3 +1,4 @@
+from whisper_trtllm_tpu.runtime.beam import beam_decode  # noqa: F401
 from whisper_trtllm_tpu.runtime.generation import (  # noqa: F401
     greedy_decode,
     transcribe_tokens,

@@ -1,0 +1,238 @@
+"""Beam search, fully on device inside one jit.
+
+Replaces the reference's beam machinery — C++ online-softmax beam kernels,
+cache_indirection ping-pong buffers and gather_tree finalization
+(reference: cpp/tensorrt_llm/kernels/onlineSoftmaxBeamsearchKernels.cu,
+tensorrt_llm/runtime/generation.py:823-975, cpp/tensorrt_llm/thop/
+gatherTreeOp.cpp:74) — with the standard alive/finished-pool formulation:
+2K candidate expansion per step, EOS candidates retired into a finished pool
+with length penalty, beam-parent KV-cache reorder via take_along_axis
+(no indirection buffers: XLA turns the gather into an on-device shuffle).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+from whisper_trtllm_tpu.models.whisper import model as wmodel
+from whisper_trtllm_tpu.runtime import logits_process as lp
+
+NEG_INF = jnp.float32(-1.0e9)
+
+
+class BeamState(NamedTuple):
+    alive_tokens: jnp.ndarray     # (B, K, max_len)
+    alive_scores: jnp.ndarray     # (B, K) cumulative log-prob
+    finished_tokens: jnp.ndarray  # (B, K, max_len)
+    finished_scores: jnp.ndarray  # (B, K) length-penalized
+    finished_lengths: jnp.ndarray # (B, K)
+    pos: jnp.ndarray              # scalar
+    self_k: jnp.ndarray           # (L, B*K, H, max_len, dh)
+    self_v: jnp.ndarray
+
+
+def _gather_beams(x: jnp.ndarray, parents: jnp.ndarray, batch: int, k: int):
+    """x: (..., B*K, ...) with beam-major layout (L, B*K, H, T, dh) or
+    (B, K, ...); parents: (B, K) indices into the old K beams."""
+    if x.ndim >= 5:  # cache (L, B*K, H, T, dh)
+        l, bk = x.shape[0], x.shape[1]
+        xr = x.reshape((l, batch, k) + x.shape[2:])
+        idx = parents[None, :, :, None, None, None]
+        out = jnp.take_along_axis(xr, idx, axis=2)
+        return out.reshape((l, bk) + x.shape[2:])
+    # (B, K, ...) tensors
+    idx = parents.reshape(parents.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def _length_penalty(length: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    return jnp.power(length.astype(jnp.float32), jnp.float32(alpha))
+
+
+def _beam_decode_impl(
+    params: dict,
+    cfg: WhisperConfig,
+    enc_states: jnp.ndarray,
+    max_len: int,
+    k: int,
+    length_penalty: float,
+    suppress_mask: jnp.ndarray,
+    begin_suppress_mask: jnp.ndarray,
+    forced_map: jnp.ndarray,
+    begin_index: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    batch = enc_states.shape[0]
+    dtype = enc_states.dtype
+    vocab = cfg.vocab_size
+
+    # tile encoder states beam-major: (B, ...) -> (B*K, ...) — the analog of
+    # the reference's _tile_beam_width (reference:
+    # tensorrt_llm/runtime/generation.py:30,898-915), done once at setup
+    enc_tiled = jnp.repeat(enc_states, k, axis=0)
+    cross_k, cross_v = wmodel.compute_cross_kv(params, cfg, enc_tiled)
+    self_k, self_v = wmodel.init_self_kv(cfg, batch * k, max_len, dtype=dtype)
+
+    alive_tokens = jnp.full((batch, k, max_len), cfg.pad_token_id, jnp.int32)
+    alive_tokens = alive_tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
+    # only beam 0 is live initially (all beams identical otherwise)
+    alive_scores = jnp.tile(
+        jnp.where(jnp.arange(k) == 0, 0.0, NEG_INF)[None], (batch, 1)
+    )
+
+    state = BeamState(
+        alive_tokens=alive_tokens,
+        alive_scores=alive_scores,
+        finished_tokens=jnp.full((batch, k, max_len), cfg.pad_token_id, jnp.int32),
+        finished_scores=jnp.full((batch, k), NEG_INF),
+        finished_lengths=jnp.zeros((batch, k), jnp.int32),
+        pos=jnp.int32(0),
+        self_k=self_k,
+        self_v=self_v,
+    )
+
+    def batch_done(s: BeamState):
+        # early stopping (HF early_stopping=True): a batch lane is done when
+        # its finished pool is full
+        return jnp.all(s.finished_scores > NEG_INF / 2, axis=1)  # (B,)
+
+    def cond(s: BeamState):
+        return jnp.logical_and(s.pos < max_len - 1, ~jnp.all(batch_done(s)))
+
+    def body(s: BeamState):
+        cur = jax.lax.dynamic_index_in_dim(
+            s.alive_tokens, s.pos, axis=2, keepdims=False
+        ).reshape(batch * k)
+        logits, sk, sv = wmodel.decode_step(
+            params, cfg, cur, s.pos, s.self_k, s.self_v, cross_k, cross_v
+        )
+        nxt_pos = s.pos + 1
+        logits = logits + suppress_mask[None]
+        logits = jnp.where(
+            nxt_pos == begin_index, logits + begin_suppress_mask[None], logits
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(batch, k, vocab)
+
+        # forced positions: the forced token gets logp 0, everything else -inf
+        forced = forced_map[nxt_pos]
+        forced_row = jnp.where(
+            jnp.arange(vocab)[None, None, :] == forced, 0.0, NEG_INF
+        )
+        logp = jnp.where(forced >= 0, forced_row, logp)
+
+        cand = s.alive_scores[:, :, None] + logp              # (B, K, V)
+        flat = cand.reshape(batch, k * vocab)
+        topv, topi = jax.lax.top_k(flat, 2 * k)               # (B, 2K)
+        parents = (topi // vocab).astype(jnp.int32)
+        tok_ids = (topi % vocab).astype(jnp.int32)
+
+        seqs = _gather_beams(s.alive_tokens, parents, batch, k)  # (B, 2K, max)
+        seqs = jax.lax.dynamic_update_slice(
+            seqs, tok_ids[:, :, None], (0, 0, nxt_pos)
+        )
+        # A candidate may retire into the finished pool only if (a) it is EOS,
+        # (b) it ranks within the top K of the 2K expansion (HF
+        # BeamSearchScorer.process skips EOS candidates ranked >= num_beams),
+        # and (c) it carries a real score — dead-beam candidates sit at
+        # ~NEG_INF, which length-penalty division would otherwise drag above
+        # the done threshold.
+        in_top_k = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * k), 1) < k
+        is_eos = (tok_ids == cfg.eos_token_id) & in_top_k & (topv > NEG_INF / 2)
+
+        # ---- alive set: best K non-EOS candidates ----
+        alive_cand = jnp.where(is_eos, NEG_INF, topv)
+        _, alive_sel = jax.lax.top_k(alive_cand, k)           # (B, K) into 2K
+        new_alive_scores = jnp.take_along_axis(alive_cand, alive_sel, axis=1)
+        new_alive_tokens = _gather_beams(seqs, alive_sel, batch, 2 * k)
+        alive_parents = jnp.take_along_axis(parents, alive_sel, axis=1)
+
+        # ---- finished pool: merge EOS candidates (length-penalized) ----
+        fin_len = nxt_pos + 1
+        # HF penalizes by the hypothesis length *excluding* the EOS token
+        # (BeamHypotheses.add uses the pre-EOS prefix length)
+        fin_cand_scores = jnp.where(
+            is_eos, topv / _length_penalty(nxt_pos, length_penalty), NEG_INF
+        )
+        # lanes already done stop accepting (HF early_stopping semantics)
+        fin_cand_scores = jnp.where(
+            batch_done(s)[:, None], NEG_INF, fin_cand_scores
+        )
+        merged_scores = jnp.concatenate([s.finished_scores, fin_cand_scores], axis=1)
+        merged_tokens = jnp.concatenate([s.finished_tokens, seqs], axis=1)
+        merged_lengths = jnp.concatenate(
+            [s.finished_lengths, jnp.full((batch, 2 * k), fin_len, jnp.int32)],
+            axis=1,
+        )
+        _, fin_sel = jax.lax.top_k(merged_scores, k)
+        new_fin_scores = jnp.take_along_axis(merged_scores, fin_sel, axis=1)
+        new_fin_tokens = _gather_beams(merged_tokens, fin_sel, batch, 3 * k)
+        new_fin_lengths = jnp.take_along_axis(merged_lengths, fin_sel, axis=1)
+
+        # ---- reorder caches to the surviving alive beams ----
+        sk = _gather_beams(sk, alive_parents, batch, k)
+        sv = _gather_beams(sv, alive_parents, batch, k)
+
+        return BeamState(
+            new_alive_tokens, new_alive_scores,
+            new_fin_tokens, new_fin_scores, new_fin_lengths,
+            nxt_pos, sk, sv,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    # fall back to alive beams only where the finished pool never filled —
+    # with early stopping HF discards alive beams once the pool is full
+    alive_len = final.pos + 1
+    alive_final_scores = final.alive_scores / _length_penalty(
+        alive_len, length_penalty
+    )
+    alive_final_scores = jnp.where(
+        batch_done(final)[:, None], NEG_INF, alive_final_scores
+    )
+    merged_scores = jnp.concatenate(
+        [final.finished_scores, alive_final_scores], axis=1
+    )
+    merged_tokens = jnp.concatenate([final.finished_tokens, final.alive_tokens], axis=1)
+    merged_lengths = jnp.concatenate(
+        [final.finished_lengths, jnp.full((batch, k), alive_len, jnp.int32)], axis=1
+    )
+    _, sel = jax.lax.top_k(merged_scores, k)
+    out_tokens = _gather_beams(merged_tokens, sel, batch, 2 * k)
+    out_scores = jnp.take_along_axis(merged_scores, sel, axis=1)
+    out_lengths = jnp.take_along_axis(merged_lengths, sel, axis=1)
+    return out_tokens, out_scores, out_lengths
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_beam(cfg: WhisperConfig, max_len: int, k: int, length_penalty: float):
+    suppress_mask = lp.build_suppress_mask(cfg)
+    begin_mask = lp.build_begin_suppress_mask(cfg)
+    forced_map, begin_index = lp.build_forced_map(cfg, max_len)
+
+    def fn(params, enc_states):
+        return _beam_decode_impl(
+            params, cfg, enc_states, max_len, k, length_penalty,
+            jnp.asarray(suppress_mask), jnp.asarray(begin_mask),
+            jnp.asarray(forced_map), begin_index,
+        )
+
+    return jax.jit(fn)
+
+
+def beam_decode(
+    params: dict,
+    cfg: WhisperConfig,
+    enc_states: jnp.ndarray,
+    gen: GenerationConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens (B, K, max_len) best-first, scores (B, K),
+    lengths (B, K))."""
+    max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)
+    return _compiled_beam(cfg, max_len, gen.num_beams, gen.length_penalty)(
+        params, enc_states
+    )

@@ -94,15 +94,19 @@ def _greedy_decode_impl(
 
 @functools.lru_cache(maxsize=16)
 def _compiled_greedy(cfg: WhisperConfig, max_len: int, donate: bool):
-    suppress_mask = jnp.asarray(lp.build_suppress_mask(cfg))
-    begin_mask = jnp.asarray(lp.build_begin_suppress_mask(cfg))
-    forced_map_np, begin_index = lp.build_forced_map(cfg, max_len)
-    forced_map = jnp.asarray(forced_map_np)
+    # numpy (not jnp) constants: this function may be first called inside an
+    # outer jit trace, and jnp arrays created there would be tracers leaking
+    # into the lru-cached closure.
+    suppress_mask = lp.build_suppress_mask(cfg)
+    begin_mask = lp.build_begin_suppress_mask(cfg)
+    forced_map, begin_index = lp.build_forced_map(cfg, max_len)
 
     def fn(params, enc_states):
+        # jnp conversion happens *inside* the traced function, fresh per trace
         return _greedy_decode_impl(
             params, cfg, enc_states, max_len,
-            suppress_mask, begin_mask, forced_map, begin_index,
+            jnp.asarray(suppress_mask), jnp.asarray(begin_mask),
+            jnp.asarray(forced_map), begin_index,
         )
 
     return jax.jit(fn)

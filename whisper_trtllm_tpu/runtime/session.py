@@ -69,8 +69,17 @@ class WhisperSession:
     def _pipeline(self):
         cfg, gen = self.cfg, self.generation
 
-        def fn(params, mel):
-            return gen_rt.transcribe_tokens(params, cfg, mel, gen)
+        if gen.num_beams > 1:
+            from whisper_trtllm_tpu.runtime.beam import beam_decode
+
+            def fn(params, mel):
+                enc = wmodel.encode(params, cfg, mel)
+                tokens, scores, lengths = beam_decode(params, cfg, enc, gen)
+                # best hypothesis per utterance, greedy-compatible signature
+                return tokens[:, 0], lengths[:, 0]
+        else:
+            def fn(params, mel):
+                return gen_rt.transcribe_tokens(params, cfg, mel, gen)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -1,0 +1,4 @@
+from whisper_trtllm_tpu.training.train import (  # noqa: F401
+    cross_entropy_loss,
+    make_train_step,
+)

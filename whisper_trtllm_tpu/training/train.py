@@ -1,0 +1,61 @@
+"""Fine-tuning: teacher-forced cross-entropy + sharded train step.
+
+The reference is inference-only (SURVEY.md §2d: DP "process-level only");
+this module goes beyond it with a first-class pjit train step — parameters
+sharded by parallel.partition specs (TP over 'model'), batches over 'data',
+gradients psum'd by XLA from the shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from whisper_trtllm_tpu.config import WhisperConfig
+from whisper_trtllm_tpu.models.whisper import model as wmodel
+
+
+def cross_entropy_loss(
+    params: dict,
+    cfg: WhisperConfig,
+    mel: jnp.ndarray,
+    tokens: jnp.ndarray,
+    loss_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """mel (B, T, M); tokens (B, S) incl. decoder_start; loss_mask (B, S-1)
+    marks the target positions that count."""
+    enc = wmodel.encode(params, cfg, mel)
+    logits = wmodel.decode_full(params, cfg, tokens[:, :-1], enc)  # (B,S-1,V) fp32
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    mask = loss_mask.astype(nll.dtype)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_train_step(
+    cfg: WhisperConfig,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    mesh=None,
+):
+    """Returns (init_opt_state, jitted step). With a mesh, parameters keep
+    their NamedShardings and the batch is expected sharded over 'data'."""
+    optimizer = optimizer or optax.adamw(1e-4)
+
+    def step(params, opt_state, mel, tokens, loss_mask):
+        loss, grads = jax.value_and_grad(cross_entropy_loss)(
+            params, cfg, mel, tokens, loss_mask
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    def init_opt_state(params):
+        return optimizer.init(params)
+
+    return init_opt_state, jitted
