@@ -36,6 +36,15 @@ AUDIO_SECONDS_PER_UTT = 30.0
 
 def main():
     import jax
+
+    # persistent compilation cache: first run per machine pays the compile,
+    # later runs start in seconds (the reference's timing-cache analog,
+    # reference: tensorrt_llm/builder.py:118-136)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/wtpu_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig

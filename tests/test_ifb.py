@@ -1,0 +1,64 @@
+"""In-flight batching: per-utterance results must equal lockstep greedy
+decode exactly, even when lanes hold utterances at different stages."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+from whisper_trtllm_tpu.models.whisper import init_params
+from whisper_trtllm_tpu.runtime.generation import transcribe_tokens
+from whisper_trtllm_tpu.runtime.ifb import InflightBatcher
+
+
+@pytest.fixture(scope="module")
+def setup(rng=None):
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    return cfg, params
+
+
+def test_ifb_matches_lockstep(setup, rng):
+    cfg, params = setup
+    n = 5
+    mels = rng.standard_normal(
+        (n, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+
+    gen = GenerationConfig(max_new_tokens=10)
+    ref_tokens, ref_lens = transcribe_tokens(params, cfg, jnp.asarray(mels), gen)
+    ref_tokens, ref_lens = np.asarray(ref_tokens), np.asarray(ref_lens)
+
+    batcher = InflightBatcher(params, cfg, gen, num_lanes=2, segment_steps=4)
+    rids = [batcher.submit(mels[i]) for i in range(n)]
+    batcher.run()
+
+    for i, rid in enumerate(rids):
+        out = batcher.fetch(rid)
+        assert out is not None
+        expect = ref_tokens[i, : ref_lens[i]]
+        np.testing.assert_array_equal(out[: len(expect)], expect)
+
+
+def test_ifb_incremental_submission(setup, rng):
+    """Requests submitted while others are mid-flight still come out right."""
+    cfg, params = setup
+    mels = rng.standard_normal(
+        (3, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    gen = GenerationConfig(max_new_tokens=8)
+    ref_tokens, ref_lens = transcribe_tokens(params, cfg, jnp.asarray(mels), gen)
+    ref_tokens, ref_lens = np.asarray(ref_tokens), np.asarray(ref_lens)
+
+    batcher = InflightBatcher(params, cfg, gen, num_lanes=2, segment_steps=3)
+    r0 = batcher.submit(mels[0])
+    batcher.state = batcher._segment(batcher.params, batcher.state)  # idle ok
+    batcher._retire_and_admit()
+    batcher.state = batcher._segment(batcher.params, batcher.state)
+    r1 = batcher.submit(mels[1])
+    r2 = batcher.submit(mels[2])
+    batcher.run()
+    for i, rid in enumerate([r0, r1, r2]):
+        out = batcher.fetch(rid)
+        expect = ref_tokens[i, : ref_lens[i]]
+        np.testing.assert_array_equal(out[: len(expect)], expect)

@@ -1,0 +1,89 @@
+"""Weight-only int8 quantization tests (analog of reference:
+tests/quantization/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+from whisper_trtllm_tpu.models.whisper import init_params, encode, decode_full
+from whisper_trtllm_tpu.ops.functional import dense
+from whisper_trtllm_tpu.quantization import (
+    QuantMode,
+    dequantize_kernel,
+    quantize_dense_params,
+    quantize_kernel,
+    weight_only_quantize,
+)
+from whisper_trtllm_tpu.runtime.generation import transcribe_tokens
+
+
+def test_quant_mode_flags():
+    m = QuantMode.use_weight_only()
+    assert m.has_int8_weights() and not m.has_int8_kv_cache()
+    m2 = m | QuantMode.INT8_KV_CACHE
+    assert m2.has_int8_kv_cache()
+
+
+def test_quantize_roundtrip_error(rng):
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    q, s = quantize_kernel(w)
+    assert q.dtype == np.int8 and s.shape == (32,)
+    wd = np.asarray(dequantize_kernel(jnp.asarray(q), jnp.asarray(s)))
+    # per-channel symmetric int8: error bounded by scale/2 per element
+    assert np.all(np.abs(wd - w) <= s[None, :] * 0.5 + 1e-7)
+
+
+def test_quantized_dense_close(rng):
+    p = {"kernel": rng.standard_normal((48, 16)).astype(np.float32),
+         "bias": rng.standard_normal(16).astype(np.float32)}
+    x = rng.standard_normal((4, 48)).astype(np.float32)
+    ref = np.asarray(dense(p, jnp.asarray(x)))
+    out = np.asarray(dense(
+        jax.tree_util.tree_map(jnp.asarray, quantize_dense_params(p)),
+        jnp.asarray(x),
+    ))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02
+
+
+def test_quantized_whisper_decodes(rng):
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    qparams = weight_only_quantize(params)
+    # stacked layer kernels got quantized
+    assert qparams["decoder"]["layers"]["self_attn"]["q"]["kernel_q"].dtype == np.int8
+    assert "kernel" not in qparams["decoder"]["layers"]["self_attn"]["q"]
+    # conv + embeddings untouched
+    assert "kernel" in qparams["encoder"]["conv1"]
+
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens_ref, _ = transcribe_tokens(params, cfg, jnp.asarray(mel),
+                                      GenerationConfig(max_new_tokens=8))
+    tokens_q, _ = transcribe_tokens(
+        jax.tree_util.tree_map(jnp.asarray, qparams), cfg, jnp.asarray(mel),
+        GenerationConfig(max_new_tokens=8),
+    )
+    # int8 path runs end to end and stays on the same trajectory early on
+    assert np.asarray(tokens_q).shape == np.asarray(tokens_ref).shape
+    np.testing.assert_array_equal(np.asarray(tokens_q)[:, :2],
+                                  np.asarray(tokens_ref)[:, :2])
+
+
+def test_quantized_logits_close(rng):
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    qparams = jax.tree_util.tree_map(jnp.asarray, weight_only_quantize(params))
+    mel = rng.standard_normal(
+        (1, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens = rng.integers(0, cfg.vocab_size, (1, 5)).astype(np.int32)
+    enc_ref = encode(params, cfg, jnp.asarray(mel))
+    enc_q = encode(qparams, cfg, jnp.asarray(mel))
+    ref = np.asarray(decode_full(params, cfg, tokens, enc_ref))
+    out = np.asarray(decode_full(qparams, cfg, tokens, enc_q))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.1  # int8 weight error compounds across layers; bounded

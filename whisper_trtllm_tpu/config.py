@@ -54,6 +54,10 @@ class WhisperConfig:
     # ((position, token_id), ...) — forced prefix, e.g. ((1, 50362),) for .en
     # "no timestamps" (reference: examples/whisper/run.py:161-165)
     forced_decoder_ids: Tuple[Tuple[int, int], ...] = ()
+    # timestamp decoding (multilingual / large): <|notimestamps|> id; the
+    # timestamp vocabulary starts at no_timestamps_token_id + 1
+    no_timestamps_token_id: Optional[int] = None
+    max_initial_timestamp_index: Optional[int] = 50
 
     def __post_init__(self):
         object.__setattr__(self, "suppress_tokens", _freeze(self.suppress_tokens))
@@ -87,7 +91,11 @@ class WhisperConfig:
                 v = getattr(gc, name, None)
                 if v is not None:
                     kw[name] = _freeze(v)
-            for name in ("decoder_start_token_id", "eos_token_id", "pad_token_id", "bos_token_id"):
+            for name in (
+                "decoder_start_token_id", "eos_token_id", "pad_token_id",
+                "bos_token_id", "no_timestamps_token_id",
+                "max_initial_timestamp_index",
+            ):
                 v = getattr(gc, name, None)
                 if v is not None:
                     kw[name] = v
@@ -100,7 +108,7 @@ class WhisperConfig:
             encoder_layers=4, encoder_attention_heads=6,
             decoder_layers=4, decoder_attention_heads=6,
             encoder_ffn_dim=1536, decoder_ffn_dim=1536,
-            forced_decoder_ids=((1, 50362),),
+            forced_decoder_ids=((1, 50362),), no_timestamps_token_id=50362,
         )
 
     @classmethod
@@ -110,7 +118,7 @@ class WhisperConfig:
             encoder_layers=6, encoder_attention_heads=8,
             decoder_layers=6, decoder_attention_heads=8,
             encoder_ffn_dim=2048, decoder_ffn_dim=2048,
-            forced_decoder_ids=((1, 50362),),
+            forced_decoder_ids=((1, 50362),), no_timestamps_token_id=50362,
         )
 
     @classmethod
@@ -120,7 +128,7 @@ class WhisperConfig:
             encoder_layers=12, encoder_attention_heads=12,
             decoder_layers=12, decoder_attention_heads=12,
             encoder_ffn_dim=3072, decoder_ffn_dim=3072,
-            forced_decoder_ids=((1, 50362),),
+            forced_decoder_ids=((1, 50362),), no_timestamps_token_id=50362,
         )
 
     @classmethod
@@ -130,7 +138,7 @@ class WhisperConfig:
             encoder_layers=24, encoder_attention_heads=16,
             decoder_layers=24, decoder_attention_heads=16,
             encoder_ffn_dim=4096, decoder_ffn_dim=4096,
-            forced_decoder_ids=((1, 50362),),
+            forced_decoder_ids=((1, 50362),), no_timestamps_token_id=50362,
         )
 
     @classmethod
@@ -142,6 +150,7 @@ class WhisperConfig:
             encoder_ffn_dim=5120, decoder_ffn_dim=5120,
             decoder_start_token_id=50258, eos_token_id=50257,
             pad_token_id=50257, bos_token_id=50257,
+            no_timestamps_token_id=50364,
         )
 
     @classmethod
@@ -191,6 +200,9 @@ class GenerationConfig:
     top_k: int = 0          # 0 → greedy/beam (no sampling)
     top_p: float = 0.0      # 0 → disabled
     early_stopping: bool = True
+    # timestamp decoding (requires cfg.no_timestamps_token_id; the forced
+    # prefix must not pin <|notimestamps|>)
+    return_timestamps: bool = False
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -1,0 +1,7 @@
+from whisper_trtllm_tpu.models.gpt.model import (  # noqa: F401
+    GPTConfig,
+    convert_hf_gpt2,
+    forward,
+    generate,
+    init_params,
+)

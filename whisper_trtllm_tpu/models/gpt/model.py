@@ -1,0 +1,273 @@
+"""GPT-style decoder-only model (zoo breadth).
+
+Analog of the reference's GPT family (reference:
+tensorrt_llm/models/gpt/model.py, the host framework's flagship), built on
+the same layers/ops as Whisper: scanned stacked layers, static KV cache,
+fused-QKV attention (reference: tensorrt_llm/layers/attention.py:48-130),
+greedy generation with a prompt-prefill pass + on-device step loop (the
+context/generation phase split of gptAttentionPlugin, reference:
+cpp/tensorrt_llm/plugins/gptAttentionPlugin/).
+
+Weight layout matches HF GPT-2 for conversion-based parity tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_trtllm_tpu.layers.init import init_dense, init_embedding, init_layer_norm
+from whisper_trtllm_tpu.ops.attention import mha, mha_decode_step, update_kv_cache
+from whisper_trtllm_tpu.ops.functional import ACT2FN, dense, embedding, layer_norm
+
+
+@dataclass(frozen=True)
+class GPTConfig:
+    vocab_size: int = 50257
+    n_positions: int = 1024
+    d_model: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    ffn_dim: int = 3072
+    activation: str = "gelu_new"
+    layer_norm_eps: float = 1e-5
+    eos_token_id: int = 50256
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_head
+
+    @classmethod
+    def testing(cls, **overrides) -> "GPTConfig":
+        kw = dict(vocab_size=89, n_positions=32, d_model=32, n_layer=2,
+                  n_head=4, ffn_dim=64, eos_token_id=2)
+        kw.update(overrides)
+        return cls(**kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def _init_layer(rng, cfg: GPTConfig) -> dict:
+    d = cfg.d_model
+    return {
+        "ln_1": init_layer_norm(d),
+        # fused qkv (column-parallel in TP terms)
+        "attn_qkv": init_dense(rng, d, 3 * d),
+        "attn_out": init_dense(rng, d, d),
+        "ln_2": init_layer_norm(d),
+        "fc_in": init_dense(rng, d, cfg.ffn_dim),
+        "fc_out": init_dense(rng, cfg.ffn_dim, d),
+    }
+
+
+def init_params(cfg: GPTConfig, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    layers = [_init_layer(rng, cfg) for _ in range(cfg.n_layer)]
+    return {
+        "wte": init_embedding(rng, cfg.vocab_size, cfg.d_model),
+        "wpe": init_embedding(rng, cfg.n_positions, cfg.d_model),
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *layers),
+        "ln_f": init_layer_norm(cfg.d_model),
+    }
+
+
+def _attention(lp, x, cfg: GPTConfig, causal: bool):
+    b, s, d = x.shape
+    qkv = dense(lp["attn_qkv"], layer_norm(lp["ln_1"], x, cfg.layer_norm_eps))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, s, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
+
+    # GPT scales scores by 1/sqrt(dh): fold into q
+    q = heads(q) * cfg.head_dim ** -0.5
+    a = mha(q, heads(k), heads(v), causal=causal)
+    a = a.transpose(0, 2, 1, 3).reshape(b, s, d)
+    return dense(lp["attn_out"], a), heads(k), heads(v)
+
+
+def _mlp(lp, x, cfg: GPTConfig):
+    h = layer_norm(lp["ln_2"], x, cfg.layer_norm_eps)
+    return dense(lp["fc_out"], ACT2FN[cfg.activation](dense(lp["fc_in"], h)))
+
+
+def forward(params: dict, cfg: GPTConfig, tokens: jnp.ndarray,
+            position_offset: int = 0) -> jnp.ndarray:
+    """Teacher-forced forward: tokens (B, S) → logits (B, S, V) fp32."""
+    s = tokens.shape[1]
+    x = embedding(params["wte"], tokens)
+    x = x + params["wpe"][position_offset : position_offset + s][None]
+
+    def body(x, lp):
+        a, _, _ = _attention(lp, x, cfg, causal=True)
+        x = x + a
+        x = x + _mlp(lp, x, cfg)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    return jnp.einsum("bsd,vd->bsv", x, params["wte"].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def _prefill(params, cfg: GPTConfig, tokens, cache_k, cache_v):
+    """Context phase: run the whole prompt once, writing K/V into the static
+    cache (the gptAttentionPlugin context phase)."""
+    b, s = tokens.shape
+    x = embedding(params["wte"], tokens)
+    x = x + params["wpe"][:s][None]
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        a, k, v = _attention(lp, x, cfg, causal=True)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        x = x + a
+        x = x + _mlp(lp, x, cfg)
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (params["layers"], cache_k, cache_v)
+    )
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    logits = jnp.einsum("bd,vd->bv", x[:, -1], params["wte"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, cache_k, cache_v
+
+
+def _step(params, cfg: GPTConfig, tok, pos, cache_k, cache_v):
+    """Generation phase: one token for the whole batch."""
+    x = embedding(params["wte"], tok[:, None])
+    x = x + jax.lax.dynamic_slice_in_dim(params["wpe"], pos, 1, 0)[None]
+    b = tok.shape[0]
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = layer_norm(lp["ln_1"], x, cfg.layer_norm_eps)
+        qkv = dense(lp["attn_qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, 1, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
+
+        q = heads(q) * cfg.head_dim ** -0.5
+        ck, cv = update_kv_cache(ck, cv, heads(k), heads(v), pos)
+        a = mha_decode_step(q, ck, cv, pos + 1)
+        a = a.transpose(0, 2, 1, 3).reshape(b, 1, cfg.d_model)
+        x = x + dense(lp["attn_out"], a)
+        x = x + _mlp(lp, x, cfg)
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (params["layers"], cache_k, cache_v)
+    )
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    logits = jnp.einsum("bd,vd->bv", x[:, 0], params["wte"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, cache_k, cache_v
+
+
+class _GenState(NamedTuple):
+    tokens: jnp.ndarray
+    pos: jnp.ndarray
+    finished: jnp.ndarray
+    cache_k: jnp.ndarray
+    cache_v: jnp.ndarray
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate(cfg: GPTConfig, prompt_len: int, max_len: int):
+    def fn(params, prompt):
+        b = prompt.shape[0]
+        shape = (cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim)
+        cache_k = jnp.zeros(shape, jnp.float32)
+        cache_v = jnp.zeros(shape, jnp.float32)
+        logits, cache_k, cache_v = _prefill(params, cfg, prompt, cache_k, cache_v)
+
+        tokens = jnp.full((b, max_len), cfg.eos_token_id, jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tokens = tokens.at[:, prompt_len].set(first)
+
+        state = _GenState(
+            tokens, jnp.int32(prompt_len),
+            first == cfg.eos_token_id, cache_k, cache_v,
+        )
+
+        def cond(s):
+            return jnp.logical_and(s.pos < max_len - 1, ~jnp.all(s.finished))
+
+        def body(s):
+            cur = jax.lax.dynamic_index_in_dim(s.tokens, s.pos, 1, keepdims=False)
+            logits, ck, cv = _step(params, cfg, cur, s.pos, s.cache_k, s.cache_v)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(s.finished, jnp.int32(cfg.eos_token_id), nxt)
+            finished = jnp.logical_or(s.finished, nxt == cfg.eos_token_id)
+            tokens = jax.lax.dynamic_update_slice(
+                s.tokens, nxt[:, None], (0, s.pos + 1)
+            )
+            return _GenState(tokens, s.pos + 1, finished, ck, cv)
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final.tokens
+
+    return jax.jit(fn)
+
+
+def generate(params: dict, cfg: GPTConfig, prompt: jnp.ndarray,
+             max_new_tokens: int) -> jnp.ndarray:
+    """Greedy generation: prompt (B, P) → tokens (B, P + max_new_tokens)."""
+    prompt_len = prompt.shape[1]
+    max_len = min(cfg.n_positions, prompt_len + max_new_tokens)
+    return _compiled_generate(cfg, prompt_len, max_len)(params, prompt)
+
+
+# -- HF GPT-2 conversion -------------------------------------------------------
+
+def convert_hf_gpt2(hf_model) -> Tuple[dict, GPTConfig]:
+    """transformers GPT2LMHeadModel → (params, config). HF GPT-2 Conv1D
+    weights are already (in, out) — no transpose."""
+    hc = hf_model.config
+    cfg = GPTConfig(
+        vocab_size=hc.vocab_size, n_positions=hc.n_positions,
+        d_model=hc.n_embd, n_layer=hc.n_layer, n_head=hc.n_head,
+        ffn_dim=4 * hc.n_embd,
+        activation="gelu_new" if hc.activation_function in ("gelu_new", "gelu")
+        else hc.activation_function,
+        layer_norm_eps=hc.layer_norm_epsilon,
+        eos_token_id=hc.eos_token_id if hc.eos_token_id is not None else 50256,
+    )
+    sd = {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
+
+    def ln(p):
+        return {"scale": sd[p + ".weight"], "bias": sd[p + ".bias"]}
+
+    def lin(p):
+        return {"kernel": sd[p + ".weight"], "bias": sd[p + ".bias"]}
+
+    layers = []
+    for i in range(cfg.n_layer):
+        p = f"transformer.h.{i}"
+        layers.append({
+            "ln_1": ln(p + ".ln_1"),
+            "attn_qkv": lin(p + ".attn.c_attn"),
+            "attn_out": lin(p + ".attn.c_proj"),
+            "ln_2": ln(p + ".ln_2"),
+            "fc_in": lin(p + ".mlp.c_fc"),
+            "fc_out": lin(p + ".mlp.c_proj"),
+        })
+    params = {
+        "wte": sd["transformer.wte.weight"],
+        "wpe": sd["transformer.wpe.weight"],
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *layers),
+        "ln_f": ln("transformer.ln_f"),
+    }
+    return params, cfg

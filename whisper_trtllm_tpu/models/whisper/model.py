@@ -223,6 +223,14 @@ def compute_cross_kv(
         return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(body, None, params["decoder"]["layers"])
+    # pad T to a multiple of 8 (sublane alignment for the Pallas decode
+    # kernel; 1500 → 1504). Padding is masked out via the true length in
+    # decode_step, so it never contributes to the softmax.
+    pad = (-ks.shape[3]) % 8
+    if pad:
+        widths = [(0, 0)] * 5
+        widths[3] = (0, pad)
+        ks, vs = jnp.pad(ks, widths), jnp.pad(vs, widths)
     return ks, vs
 
 
@@ -276,13 +284,69 @@ def decode_step(
         sk, sv = update_kv_cache(sk, sv, k_new, v_new, pos)
         a = merge_heads(mha_decode_step(q, sk, sv, pos + 1))
         x = x + dense(lp["self_attn"]["out"], a)
-        # cross-attention against precomputed K/V (always full encoder length)
+        # cross-attention against precomputed K/V; the true encoder length
+        # masks out any alignment padding in the cache
         h = layer_norm(lp["encoder_attn_layer_norm"], x)
         d = x.shape[-1]
         qc = split_heads(dense(lp["encoder_attn"]["q"], h) * (d // heads) ** -0.5, heads)
-        a = merge_heads(mha_decode_step(qc, ck, cv, jnp.int32(ck.shape[2])))
+        a = merge_heads(
+            mha_decode_step(qc, ck, cv, jnp.int32(cfg.max_source_positions))
+        )
         x = x + dense(lp["encoder_attn"]["out"], a)
         # MLP
+        h = layer_norm(lp["final_layer_norm"], x)
+        x = x + mlp_block(lp, h)
+        return x, (sk, sv)
+
+    x, (self_k, self_v) = jax.lax.scan(
+        body, x, (dec["layers"], self_k, self_v, cross_k, cross_v)
+    )
+    x = layer_norm(dec["layer_norm"], x)
+    logits = jnp.einsum(
+        "bsd,vd->bsv", x, dec["embed_tokens"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    return logits, self_k, self_v
+
+
+def decode_step_ragged(
+    params: dict,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,
+    pos: jnp.ndarray,
+    self_k: jnp.ndarray,
+    self_v: jnp.ndarray,
+    cross_k: jnp.ndarray,
+    cross_v: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-lane decode step: like ``decode_step`` but ``pos`` is a (B,)
+    vector — every batch lane sits at its own sequence position, so lanes can
+    carry *different utterances at different stages* (the in-flight-batching
+    primitive; analog of the reference's per-request cache pointers,
+    cpp/tensorrt_llm/plugins/ibGptAttentionPlugin/)."""
+    dec = params["decoder"]
+    heads = cfg.decoder_attention_heads
+    pos = pos.astype(jnp.int32)
+
+    x = embedding(dec["embed_tokens"], tokens[:, None])
+    x = x + jnp.take(dec["embed_positions"], pos, axis=0).astype(x.dtype)[:, None]
+
+    def body(x, xs):
+        lp, sk, sv, ck, cv = xs
+        h = layer_norm(lp["self_attn_layer_norm"], x)
+        q, k_new, v_new = attention_qkv(lp["self_attn"], h, None, heads)
+        sk, sv = update_kv_cache(sk, sv, k_new, v_new, pos)
+        a = merge_heads(mha_decode_step(q, sk, sv, pos + 1))
+        x = x + dense(lp["self_attn"]["out"], a)
+
+        h = layer_norm(lp["encoder_attn_layer_norm"], x)
+        d = x.shape[-1]
+        qc = split_heads(dense(lp["encoder_attn"]["q"], h) * (d // heads) ** -0.5, heads)
+        a = merge_heads(
+            mha_decode_step(qc, ck, cv, jnp.int32(cfg.max_source_positions))
+        )
+        x = x + dense(lp["encoder_attn"]["out"], a)
+
         h = layer_norm(lp["final_layer_norm"], x)
         x = x + mlp_block(lp, h)
         return x, (sk, sv)

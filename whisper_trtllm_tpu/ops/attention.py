@@ -27,6 +27,12 @@ import jax.numpy as jnp
 from whisper_trtllm_tpu.ops.functional import softmax_fp32
 
 
+def _use_pallas() -> bool:
+    from whisper_trtllm_tpu.ops.pallas import pallas_enabled
+
+    return pallas_enabled()
+
+
 def mha(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -41,9 +47,24 @@ def mha(
     tensorrt_llm/layers/attention.py:72,112-120) or divide H (grouped-query).
     ``q`` is expected pre-scaled by dh**-0.5 (Whisper convention). ``mask``
     is additive (0 / -inf), broadcastable to (B, H, S, T).
+
+    On the TPU backend the bidirectional unmasked case dispatches to the
+    fused Pallas flash kernel (1.5x the XLA lowering at Whisper encoder
+    shapes; kill switch WHISPER_TPU_DISABLE_PALLAS=1).
     """
     b, h, s, dh = q.shape
     hkv = k.shape[1]
+    if (
+        not causal
+        and mask is None
+        and hkv == h
+        and s > 1
+        and dh % 8 == 0
+        and _use_pallas()
+    ):
+        from whisper_trtllm_tpu.ops.pallas.flash_attention import flash_mha
+
+        return flash_mha(q, k, v)
     if hkv != h:
         assert h % hkv == 0
         k = jnp.repeat(k, h // hkv, axis=1)
@@ -84,7 +105,19 @@ def update_kv_cache(
     pos: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """In-place (donated) write of the current step's K/V at position ``pos``.
-    k_new/v_new: (B, H, 1, dh)."""
+    k_new/v_new: (B, H, 1, dh). ``pos`` is a scalar (lockstep batch) or a
+    (B,) vector (ragged/in-flight batches — per-lane write offsets)."""
+    if getattr(pos, "ndim", 0) == 1:
+        def upd(c, n, p):
+            return jax.lax.dynamic_update_slice(
+                c, n.astype(c.dtype), (jnp.zeros((), jnp.int32), p, jnp.zeros((), jnp.int32))
+            )
+
+        vupd = jax.vmap(upd, in_axes=(0, 0, 0))
+        return (
+            vupd(cache_k, k_new, pos.astype(jnp.int32)),
+            vupd(cache_v, v_new, pos.astype(jnp.int32)),
+        )
     zero = jnp.zeros((), jnp.int32)
     idx = (zero, zero, pos.astype(jnp.int32), zero)
     cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype), idx)
@@ -105,13 +138,36 @@ def mha_decode_step(
     of valid cache positions. Positions >= valid_len are masked out, which is
     how one static shape serves every step (and both self- and cross-
     attention: for cross, valid_len is the constant encoder length).
+
+    ``valid_len`` may also be a per-lane (B,) vector (ragged batches, the
+    in-flight-batching case — analog of ibGptAttentionPlugin's per-request
+    cache lengths, reference: cpp/tensorrt_llm/plugins/ibGptAttentionPlugin/).
+
+    The Pallas decode kernel (ops/pallas/decode_attention.py) is available
+    but NOT dispatched here: profiled on v5e inside the scanned layer body it
+    loses to the XLA lowering (46.6 vs 29.8 ms per 48-step batch-8 loop —
+    per-call dispatch overhead dominates at one token per step), while the
+    encoder flash kernel wins. Opt in via WHISPER_TPU_FORCE_PALLAS_DECODE=1.
     """
+    import os
+
+    per_lane = getattr(valid_len, "ndim", 0) == 1
+    if (
+        not per_lane
+        and cache_k.shape[2] % 8 == 0
+        and os.environ.get("WHISPER_TPU_FORCE_PALLAS_DECODE") == "1"
+        and _use_pallas()
+    ):
+        from whisper_trtllm_tpu.ops.pallas.decode_attention import decode_mha
+
+        return decode_mha(q, cache_k, cache_v, valid_len)
     scores = jnp.einsum(
         "bhqd,bhtd->bhqt", q, cache_k, preferred_element_type=jnp.float32
     )
     t = cache_k.shape[2]
     pos_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
-    scores = jnp.where(pos_ids < valid_len, scores, jnp.float32(-1e9))
+    vl = valid_len[:, None, None, None] if per_lane else valid_len
+    scores = jnp.where(pos_ids < vl, scores, jnp.float32(-1e9))
     if fp32_softmax:
         weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     else:

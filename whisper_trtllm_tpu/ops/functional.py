@@ -44,8 +44,18 @@ def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     Analog of Linear/ColumnLinear/RowLinear minus the TP collectives
     (reference: tensorrt_llm/layers/linear.py:38-139) — on TPU the collective
     is inserted by XLA from the sharding of ``kernel``, not hand-written.
+
+    Weight-only int8 trees (quantization.weight_only_quantize) carry
+    ``kernel_q`` + per-channel ``scale`` instead of ``kernel``; the upcast
+    fuses into the dot (analog of weightOnlyQuantMatmulPlugin, reference:
+    cpp/tensorrt_llm/plugins/weightOnlyQuantMatmulPlugin/).
     """
-    y = jnp.dot(x, params["kernel"], preferred_element_type=x.dtype)
+    if "kernel_q" in params:
+        w = params["kernel_q"].astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=x.dtype)
+        y = y * params["scale"].astype(y.dtype)
+    else:
+        y = jnp.dot(x, params["kernel"], preferred_element_type=x.dtype)
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"].astype(y.dtype)
     return y

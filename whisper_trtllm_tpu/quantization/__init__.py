@@ -1,0 +1,7 @@
+from whisper_trtllm_tpu.quantization.mode import QuantMode  # noqa: F401
+from whisper_trtllm_tpu.quantization.quantize import (  # noqa: F401
+    dequantize_kernel,
+    quantize_dense_params,
+    quantize_kernel,
+    weight_only_quantize,
+)

@@ -44,6 +44,7 @@ def _greedy_decode_impl(
     begin_suppress_mask: jnp.ndarray,
     forced_map: jnp.ndarray,
     begin_index: int,
+    timestamps: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """enc_states (B, 1500, d) → (tokens (B, max_len), lengths (B,))."""
     batch = enc_states.shape[0]
@@ -74,6 +75,12 @@ def _greedy_decode_impl(
         nxt_pos = s.pos + 1
         logits = logits + suppress_mask[None]
         logits = jnp.where(nxt_pos == begin_index, logits + begin_suppress_mask[None], logits)
+        if timestamps:
+            logits = lp.apply_timestamp_rules(
+                logits, s.tokens, s.pos, begin_index,
+                cfg.no_timestamps_token_id + 1, cfg.eos_token_id,
+                cfg.max_initial_timestamp_index,
+            )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         forced = forced_map[nxt_pos]
         nxt = jnp.where(forced >= 0, forced, nxt)
@@ -93,20 +100,22 @@ def _greedy_decode_impl(
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled_greedy(cfg: WhisperConfig, max_len: int, donate: bool):
+def _compiled_greedy(cfg: WhisperConfig, max_len: int, timestamps: bool = False):
     # numpy (not jnp) constants: this function may be first called inside an
     # outer jit trace, and jnp arrays created there would be tracers leaking
     # into the lru-cached closure.
     suppress_mask = lp.build_suppress_mask(cfg)
     begin_mask = lp.build_begin_suppress_mask(cfg)
     forced_map, begin_index = lp.build_forced_map(cfg, max_len)
+    if timestamps and cfg.no_timestamps_token_id is None:
+        raise ValueError("timestamp decoding needs cfg.no_timestamps_token_id")
 
     def fn(params, enc_states):
         # jnp conversion happens *inside* the traced function, fresh per trace
         return _greedy_decode_impl(
             params, cfg, enc_states, max_len,
             jnp.asarray(suppress_mask), jnp.asarray(begin_mask),
-            jnp.asarray(forced_map), begin_index,
+            jnp.asarray(forced_map), begin_index, timestamps,
         )
 
     return jax.jit(fn)
@@ -126,7 +135,9 @@ def greedy_decode(
     """
     gen = gen or GenerationConfig()
     max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)
-    return _compiled_greedy(cfg, max_len, True)(params, enc_states)
+    return _compiled_greedy(cfg, max_len, gen.return_timestamps)(
+        params, enc_states
+    )
 
 
 def transcribe_tokens(

@@ -1,0 +1,226 @@
+"""Token-level in-flight (continuous) batching.
+
+Analog of the reference's in-flight batching subsystem
+(reference: cpp/tensorrt_llm/batch_manager/trtGptModelInflightBatching.h,
+ibGptAttentionPlugin, protocol docs/in_flight_batching.md:16-50): batch lanes
+hold *different utterances at different decode positions*; a finished lane is
+refilled from the queue without waiting for its neighbors. Device state stays
+shape-static — per-lane integer positions do the work of the reference's
+per-request cache pointer arrays.
+
+Host↔device sync happens once per *segment* (a jitted run of up to
+``segment_steps`` decode steps that early-exits when every lane is done),
+not per token.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import deque
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+from whisper_trtllm_tpu.models.whisper import model as wmodel
+from whisper_trtllm_tpu.runtime import logits_process as lp
+
+
+class LaneState(NamedTuple):
+    tokens: jnp.ndarray     # (B, max_len)
+    pos: jnp.ndarray        # (B,) index of last filled position
+    active: jnp.ndarray     # (B,) lane holds a request
+    finished: jnp.ndarray   # (B,) request hit EOS / max length
+    self_k: jnp.ndarray     # (L, B, H, max_len, dh)
+    self_v: jnp.ndarray
+    cross_k: jnp.ndarray    # (L, B, H, Tc, dh)
+    cross_v: jnp.ndarray
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_segment(cfg: WhisperConfig, max_len: int, segment_steps: int):
+    suppress_mask = lp.build_suppress_mask(cfg)
+    begin_mask = lp.build_begin_suppress_mask(cfg)
+    forced_map, begin_index = lp.build_forced_map(cfg, max_len)
+
+    def segment(params, state: LaneState) -> LaneState:
+        sup = jnp.asarray(suppress_mask)
+        beg = jnp.asarray(begin_mask)
+        forced = jnp.asarray(forced_map)
+
+        def should_step(s):
+            return s.active & ~s.finished
+
+        def cond(carry):
+            s, i = carry
+            return jnp.logical_and(i < segment_steps, jnp.any(should_step(s)))
+
+        def body(carry):
+            s, i = carry
+            live = should_step(s)
+            cur = jnp.take_along_axis(s.tokens, s.pos[:, None], axis=1)[:, 0]
+            logits, sk, sv = wmodel.decode_step_ragged(
+                params, cfg, cur, s.pos, s.self_k, s.self_v,
+                s.cross_k, s.cross_v,
+            )
+            nxt_pos = jnp.minimum(s.pos + 1, max_len - 1)
+            logits = logits + sup[None]
+            logits = jnp.where(
+                (nxt_pos == begin_index)[:, None], logits + beg[None], logits
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            f = forced[nxt_pos]
+            nxt = jnp.where(f >= 0, f, nxt)
+            existing = jnp.take_along_axis(s.tokens, nxt_pos[:, None], axis=1)[:, 0]
+            val = jnp.where(live, nxt, existing)
+            tokens = jax.vmap(
+                lambda row, p, v: row.at[p].set(v)
+            )(s.tokens, nxt_pos, val)
+            hit_eos = live & (nxt == cfg.eos_token_id)
+            hit_max = live & (nxt_pos >= max_len - 1)
+            finished = s.finished | hit_eos | hit_max
+            pos = jnp.where(live, nxt_pos, s.pos)
+            return (LaneState(tokens, pos, s.active, finished, sk, sv,
+                              s.cross_k, s.cross_v), i + 1)
+
+        final, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+        return final
+
+    return jax.jit(segment, donate_argnums=(1,))
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_admit(cfg: WhisperConfig, max_len: int):
+    """Insert a new utterance's cross-KV into one lane and reset lane state."""
+
+    def admit(state: LaneState, lane, new_ck, new_cv) -> LaneState:
+        lane = lane.astype(jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        ck = jax.lax.dynamic_update_slice(
+            state.cross_k, new_ck[:, None], (zero, lane, zero, zero, zero)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            state.cross_v, new_cv[:, None], (zero, lane, zero, zero, zero)
+        )
+        row = jnp.full((max_len,), cfg.pad_token_id, jnp.int32).at[0].set(
+            cfg.decoder_start_token_id
+        )
+        tokens = jax.lax.dynamic_update_slice(state.tokens, row[None], (lane, zero))
+        pos = state.pos.at[lane].set(0)
+        active = state.active.at[lane].set(True)
+        finished = state.finished.at[lane].set(False)
+        return LaneState(tokens, pos, active, finished,
+                         state.self_k, state.self_v, ck, cv)
+
+    return jax.jit(admit, donate_argnums=(0,))
+
+
+class InflightBatcher:
+    """Continuous-batching decoder over fixed lanes.
+
+    >>> b = InflightBatcher(params, cfg, num_lanes=8)
+    >>> rid = b.submit(mel_1x3000xM)       # any number of times
+    >>> b.run()                            # drain queue + lanes
+    >>> tokens = b.fetch(rid)
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: WhisperConfig,
+        generation: Optional[GenerationConfig] = None,
+        num_lanes: int = 8,
+        segment_steps: int = 32,
+    ):
+        gen = generation or GenerationConfig()
+        self.cfg = cfg
+        self.params = params
+        self.num_lanes = num_lanes
+        self.segment_steps = segment_steps
+        self.max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)
+
+        self._encode = jax.jit(
+            lambda p, m: wmodel.compute_cross_kv(
+                p, cfg, wmodel.encode(p, cfg, m)
+            )
+        )
+        self._segment = _compiled_segment(cfg, self.max_len, segment_steps)
+        self._admit = _compiled_admit(cfg, self.max_len)
+
+        sk, sv = wmodel.init_self_kv(cfg, num_lanes, self.max_len)
+        ck_probe, cv_probe = jax.eval_shape(
+            self._encode, params,
+            jax.ShapeDtypeStruct(
+                (1, 2 * cfg.max_source_positions, cfg.num_mel_bins), jnp.float32
+            ),
+        )
+        tc = ck_probe.shape[3]
+        self.state = LaneState(
+            tokens=jnp.full((num_lanes, self.max_len), cfg.pad_token_id, jnp.int32),
+            pos=jnp.zeros((num_lanes,), jnp.int32),
+            active=jnp.zeros((num_lanes,), bool),
+            finished=jnp.zeros((num_lanes,), bool),
+            self_k=sk, self_v=sv,
+            cross_k=jnp.zeros(
+                (cfg.decoder_layers, num_lanes, cfg.decoder_attention_heads,
+                 tc, cfg.decoder_head_dim), jnp.float32),
+            cross_v=jnp.zeros(
+                (cfg.decoder_layers, num_lanes, cfg.decoder_attention_heads,
+                 tc, cfg.decoder_head_dim), jnp.float32),
+        )
+        self._queue: deque = deque()
+        self._lane_req: List[Optional[int]] = [None] * num_lanes
+        self._results: Dict[int, np.ndarray] = {}
+        self._next_id = 1
+
+    # -- public ---------------------------------------------------------------
+    def submit(self, mel: np.ndarray) -> int:
+        """mel (3000, M) or (1, 3000, M) → request id."""
+        mel = np.asarray(mel, np.float32)
+        if mel.ndim == 2:
+            mel = mel[None]
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, mel))
+        return rid
+
+    def fetch(self, request_id: int) -> Optional[np.ndarray]:
+        return self._results.pop(request_id, None)
+
+    def run(self, max_segments: int = 10_000) -> None:
+        """Process until the queue is empty and all lanes drain."""
+        for _ in range(max_segments):
+            self._retire_and_admit()
+            if not any(self._lane_req):
+                if not self._queue:
+                    return
+                continue
+            self.state = self._segment(self.params, self.state)
+        raise RuntimeError("run() exceeded max_segments")
+
+    # -- internals ------------------------------------------------------------
+    def _retire_and_admit(self) -> None:
+        finished = np.asarray(self.state.finished)
+        active = np.asarray(self.state.active)
+        tokens = None
+        for lane in range(self.num_lanes):
+            if active[lane] and finished[lane] and self._lane_req[lane] is not None:
+                if tokens is None:
+                    tokens = np.asarray(self.state.tokens)
+                    pos = np.asarray(self.state.pos)
+                row = tokens[lane, : pos[lane] + 1]
+                self._results[self._lane_req[lane]] = row
+                self._lane_req[lane] = None
+                self.state = self.state._replace(
+                    active=self.state.active.at[lane].set(False)
+                )
+        for lane in range(self.num_lanes):
+            if self._lane_req[lane] is None and self._queue:
+                rid, mel = self._queue.popleft()
+                ck, cv = self._encode(self.params, jnp.asarray(mel))
+                self.state = self._admit(
+                    self.state, jnp.int32(lane), ck[:, 0], cv[:, 0]
+                )
+                self._lane_req[lane] = rid
