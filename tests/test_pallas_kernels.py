@@ -51,3 +51,18 @@ def test_flash_mha_bf16(rng):
     ref = np.asarray(mha(q, k, v).astype(jnp.float32))
     out = np.asarray(flash_mha(q, k, v, interpret=True).astype(jnp.float32))
     np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_layer_norm_fused_matches_xla(rng):
+    from whisper_trtllm_tpu.ops.functional import layer_norm
+    from whisper_trtllm_tpu.ops.pallas.layer_norm import layer_norm_fused
+
+    x = rng.standard_normal((2, 100, 64)).astype(np.float32)
+    scale = rng.standard_normal(64).astype(np.float32)
+    bias = rng.standard_normal(64).astype(np.float32)
+    ref = np.asarray(layer_norm({"scale": scale, "bias": bias}, jnp.asarray(x)))
+    out = np.asarray(
+        layer_norm_fused(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias),
+                         interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)

@@ -87,3 +87,57 @@ def test_quantized_logits_close(rng):
     out = np.asarray(decode_full(qparams, cfg, tokens, enc_q))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.1  # int8 weight error compounds across layers; bounded
+
+
+def test_int8_kv_cache_decode(rng):
+    """INT8_KV_CACHE mode: greedy decode with quantized self+cross caches
+    tracks the float-cache trajectory (analog of the reference's int8 KV
+    mode, tensorrt_llm/layers/attention.py:235-245)."""
+    from whisper_trtllm_tpu.config import GenerationConfig
+
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    ref, _ = transcribe_tokens(params, cfg, jnp.asarray(mel),
+                               GenerationConfig(max_new_tokens=8))
+    q8, _ = transcribe_tokens(
+        params, cfg, jnp.asarray(mel),
+        GenerationConfig(max_new_tokens=8, kv_cache_dtype="int8"),
+    )
+    ref, q8 = np.asarray(ref), np.asarray(q8)
+    assert ref.shape == q8.shape
+    # early tokens track the float path; full-sequence equality isn't
+    # guaranteed under quantization noise
+    np.testing.assert_array_equal(q8[:, :3], ref[:, :3])
+
+
+def test_int8_kv_step_logits_close(rng):
+    from whisper_trtllm_tpu.models.whisper import (
+        compute_cross_kv, decode_step_kv, init_self_kv, init_self_kv_int8,
+        quantize_cross_kv,
+    )
+    from whisper_trtllm_tpu.models.whisper import encode as enc_fn
+
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    mel = rng.standard_normal(
+        (1, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    enc = enc_fn(params, cfg, jnp.asarray(mel))
+    ck, cv = compute_cross_kv(params, cfg, enc)
+    tok = jnp.asarray([1], jnp.int32)
+
+    ref_logits, _ = decode_step_kv(
+        params, cfg, tok, jnp.int32(0),
+        init_self_kv(cfg, 1), (ck, cv),
+    )
+    q_logits, _ = decode_step_kv(
+        params, cfg, tok, jnp.int32(0),
+        init_self_kv_int8(cfg, 1), quantize_cross_kv(ck, cv),
+    )
+    rel = np.abs(np.asarray(q_logits) - np.asarray(ref_logits)).max() / (
+        np.abs(np.asarray(ref_logits)).max() + 1e-9
+    )
+    assert rel < 0.05

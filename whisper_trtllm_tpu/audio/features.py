@@ -3,10 +3,13 @@
 Replaces the reference's host-side numpy STFT preprocessing
 (reference: transformers/src/transformers/models/whisper/
 feature_extraction_whisper.py:94-111 and examples/whisper/run.py:267): the
-windowed STFT is expressed as a strided convolution — the windowed cos/sin
-DFT bases are conv filters (kernel 400, stride 160, 201 channels) — plus a
-mel-filterbank matmul, so the whole frontend runs on the MXU inside one jit,
-with no framing gather and no host round-trip before the encoder.
+audio is reshaped into hop-sized (160) blocks and each 400-sample analysis
+frame is three consecutive blocks (480 samples, window zero-padded), so the
+windowed DFT becomes one large (frames, 480) @ (480, 2*201) MXU matmul plus
+the mel-filterbank matmul — the whole frontend runs on the MXU inside one
+jit, with no framing gather, no small-channel conv, and no host round-trip
+before the encoder. (A stride-160 conv1d formulation lowers ~20x slower on
+v5e because in_channels=1 convs miss the MXU.)
 
 Semantics matched exactly (tests/test_features.py):
   hann(400, periodic) window, hop 160, reflect center-pad 200,
@@ -68,15 +71,14 @@ class LogMelSpectrogram:
         self._jitted = None
         window = _mel.hann_window(N_FFT, periodic=True)          # (400,)
         cos_m, sin_m = _mel.dft_matrices(N_FFT)                  # (400, 201)
-        # fold the window into the DFT bases and lay them out as conv filters
-        # (kernel, in_channels=1, out_channels): the STFT is then one strided
-        # convolution per real/imag part.
-        self.cos_filt = jnp.asarray(
-            (window[:, None] * cos_m)[:, None, :], dtype=jnp.float32
-        )
-        self.sin_filt = jnp.asarray(
-            (window[:, None] * sin_m)[:, None, :], dtype=jnp.float32
-        )
+        # fold the window into the DFT bases, zero-pad the 400-tap analysis
+        # to 3 hop blocks (480), and fuse real/imag into ONE (480, 402) basis
+        wcos = window[:, None] * cos_m
+        wsin = window[:, None] * sin_m
+        basis = np.zeros((3 * HOP_LENGTH, 2 * N_FREQ_BINS), np.float32)
+        basis[:N_FFT, :N_FREQ_BINS] = wcos
+        basis[:N_FFT, N_FREQ_BINS:] = wsin
+        self.dft_basis = jnp.asarray(basis)                      # (480, 402)
         self.mel_fb = jnp.asarray(
             _mel.mel_filter_bank(N_FREQ_BINS, num_mel_bins), dtype=jnp.float32
         )                                                        # (201, M)
@@ -91,20 +93,20 @@ class LogMelSpectrogram:
         b = audio.shape[0]
         # center=True reflect padding of n_fft//2 on both sides
         padded = jnp.pad(audio, ((0, 0), (N_FFT // 2, N_FFT // 2)), mode="reflect")
-        x = padded[:, :, None]                                    # (B, T, 1)
-
-        def stft_conv(filt):
-            return jax.lax.conv_general_dilated(
-                x,
-                filt,
-                window_strides=(HOP_LENGTH,),
-                padding="VALID",
-                dimension_numbers=("NHC", "HIO", "NHC"),
-                precision=_HIGHEST,
-            )
-
-        real = stft_conv(self.cos_filt)                           # (B, 3001, 201)
-        imag = stft_conv(self.sin_filt)
+        # frame f covers samples [160f, 160f+480): three consecutive
+        # hop-blocks. Tail-pad so block f+2 exists for the last frame.
+        n_frames_full = N_FRAMES + 1                              # 3001
+        total = (n_frames_full + 2) * HOP_LENGTH
+        padded = jnp.pad(padded, ((0, 0), (0, total - padded.shape[1])))
+        blocks = padded.reshape(b, n_frames_full + 2, HOP_LENGTH)
+        frames = jnp.concatenate(
+            [blocks[:, :-2], blocks[:, 1:-1], blocks[:, 2:]], axis=-1
+        )                                                         # (B, 3001, 480)
+        spec = jnp.einsum(
+            "btn,nf->btf", frames, self.dft_basis, precision=_HIGHEST
+        )                                                         # (B, 3001, 402)
+        real = spec[..., :N_FREQ_BINS]
+        imag = spec[..., N_FREQ_BINS:]
         power = real * real + imag * imag                         # (B, 3001, 201)
         melspec = jnp.einsum("btf,fm->btm", power, self.mel_fb, precision=_HIGHEST)
         log_spec = jnp.log10(jnp.maximum(melspec, 1e-10))

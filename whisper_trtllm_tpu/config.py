@@ -203,6 +203,11 @@ class GenerationConfig:
     # timestamp decoding (requires cfg.no_timestamps_token_id; the forced
     # prefix must not pin <|notimestamps|>)
     return_timestamps: bool = False
+    repetition_penalty: float = 1.0
+    seed: int = 0           # PRNG seed for sampling
+    # "auto" follows the compute dtype; "int8" stores self+cross KV caches
+    # int8 with per-token scales (QuantMode.INT8_KV_CACHE analog)
+    kv_cache_dtype: str = "auto"
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -1,0 +1,7 @@
+from whisper_trtllm_tpu.models.llama.model import (  # noqa: F401
+    LlamaConfig,
+    convert_hf_llama,
+    forward,
+    generate,
+    init_params,
+)

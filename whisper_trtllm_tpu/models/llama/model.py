@@ -1,0 +1,284 @@
+"""LLaMA-family decoder-only model (zoo breadth).
+
+Analog of the reference's LLaMA family (reference:
+tensorrt_llm/models/llama/model.py — RMSNorm, rotary embeddings, gated SiLU
+MLP, optional grouped-query attention), on the same scanned-layer/static-
+KV-cache machinery as the GPT and Whisper models. Converts from HF
+LlamaForCausalLM for parity tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_trtllm_tpu.layers.init import init_dense, init_embedding
+from whisper_trtllm_tpu.ops.attention import mha, mha_decode_step, update_kv_cache
+from whisper_trtllm_tpu.ops.functional import dense, embedding, rms_norm
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    max_positions: int = 4096
+    d_model: int = 4096
+    n_layer: int = 32
+    n_head: int = 32
+    n_kv_head: int = 32          # < n_head → grouped-query attention
+    ffn_dim: int = 11008
+    rms_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    eos_token_id: int = 2
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_head
+
+    @classmethod
+    def testing(cls, **overrides) -> "LlamaConfig":
+        kw = dict(vocab_size=89, max_positions=32, d_model=32, n_layer=2,
+                  n_head=4, n_kv_head=2, ffn_dim=56, eos_token_id=2)
+        kw.update(overrides)
+        return cls(**kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+# -- rotary embeddings --------------------------------------------------------
+
+def rope_sin_cos(cfg: LlamaConfig, positions: jnp.ndarray):
+    """positions (...,) → sin/cos (..., head_dim) in HF half-rotation layout
+    (analog of the RoPE handling inside gptAttentionPlugin, reference:
+    cpp/tensorrt_llm/plugins/gptAttentionCommon/)."""
+    dh = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., dh/2)
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.sin(emb), jnp.cos(emb)
+
+
+def apply_rope(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray):
+    """x: (B, H, S, dh); sin/cos: (S, dh) — HF rotate_half convention."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x * cos[None, None] + rotated * sin[None, None]).astype(x.dtype)
+
+
+# -- params -------------------------------------------------------------------
+
+def _init_layer(rng, cfg: LlamaConfig) -> dict:
+    d, dh = cfg.d_model, cfg.head_dim
+    kv = cfg.n_kv_head * dh
+    return {
+        "input_norm": {"scale": np.ones((d,), np.float32)},
+        "q": init_dense(rng, d, d, bias=False),
+        "k": init_dense(rng, d, kv, bias=False),
+        "v": init_dense(rng, d, kv, bias=False),
+        "o": init_dense(rng, d, d, bias=False),
+        "post_norm": {"scale": np.ones((d,), np.float32)},
+        "gate": init_dense(rng, d, cfg.ffn_dim, bias=False),
+        "up": init_dense(rng, d, cfg.ffn_dim, bias=False),
+        "down": init_dense(rng, cfg.ffn_dim, d, bias=False),
+    }
+
+
+def init_params(cfg: LlamaConfig, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    layers = [_init_layer(rng, cfg) for _ in range(cfg.n_layer)]
+    p = {
+        "embed_tokens": init_embedding(rng, cfg.vocab_size, cfg.d_model),
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *layers),
+        "norm": {"scale": np.ones((cfg.d_model,), np.float32)},
+    }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = init_dense(rng, cfg.d_model, cfg.vocab_size, bias=False)
+    return p
+
+
+# -- forward ------------------------------------------------------------------
+
+def _split(t, heads, dh):
+    b, s, _ = t.shape
+    return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+
+
+def _logits(params, cfg, x):
+    if cfg.tie_word_embeddings:
+        w = params["embed_tokens"].astype(x.dtype)
+        return jnp.einsum("bsd,vd->bsv", x, w, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "bsd,dv->bsv", x, params["lm_head"]["kernel"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def forward(params: dict, cfg: LlamaConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Teacher-forced: tokens (B, S) → logits (B, S, V) fp32."""
+    b, s = tokens.shape
+    dh = cfg.head_dim
+    x = embedding(params["embed_tokens"], tokens)
+    sin, cos = rope_sin_cos(cfg, jnp.arange(s))
+
+    def body(x, lp):
+        h = rms_norm(lp["input_norm"], x, cfg.rms_eps)
+        q = apply_rope(_split(dense(lp["q"], h), cfg.n_head, dh), sin, cos)
+        k = apply_rope(_split(dense(lp["k"], h), cfg.n_kv_head, dh), sin, cos)
+        v = _split(dense(lp["v"], h), cfg.n_kv_head, dh)
+        a = mha(q * dh ** -0.5, k, v, causal=True)
+        a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
+        x = x + dense(lp["o"], a)
+        h = rms_norm(lp["post_norm"], x, cfg.rms_eps)
+        x = x + dense(lp["down"], jax.nn.silu(dense(lp["gate"], h)) * dense(lp["up"], h))
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = rms_norm(params["norm"], x, cfg.rms_eps)
+    return _logits(params, cfg, x)
+
+
+def _step(params, cfg: LlamaConfig, tok, pos, cache_k, cache_v):
+    b = tok.shape[0]
+    dh = cfg.head_dim
+    x = embedding(params["embed_tokens"], tok[:, None])
+    sin, cos = rope_sin_cos(cfg, pos[None].astype(jnp.float32))
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = rms_norm(lp["input_norm"], x, cfg.rms_eps)
+        q = apply_rope(_split(dense(lp["q"], h), cfg.n_head, dh), sin, cos)
+        k = apply_rope(_split(dense(lp["k"], h), cfg.n_kv_head, dh), sin, cos)
+        v = _split(dense(lp["v"], h), cfg.n_kv_head, dh)
+        ck, cv = update_kv_cache(ck, cv, k, v, pos)
+        rep = cfg.n_head // cfg.n_kv_head
+        qk = q * dh ** -0.5
+        a = mha_decode_step(
+            qk,
+            jnp.repeat(ck, rep, axis=1) if rep > 1 else ck,
+            jnp.repeat(cv, rep, axis=1) if rep > 1 else cv,
+            pos + 1,
+        )
+        a = a.transpose(0, 2, 1, 3).reshape(b, 1, cfg.d_model)
+        x = x + dense(lp["o"], a)
+        h = rms_norm(lp["post_norm"], x, cfg.rms_eps)
+        x = x + dense(lp["down"], jax.nn.silu(dense(lp["gate"], h)) * dense(lp["up"], h))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
+    x = rms_norm(params["norm"], x, cfg.rms_eps)
+    return _logits(params, cfg, x)[:, 0], cache_k, cache_v
+
+
+class _GenState(NamedTuple):
+    tokens: jnp.ndarray
+    pos: jnp.ndarray
+    finished: jnp.ndarray
+    cache_k: jnp.ndarray
+    cache_v: jnp.ndarray
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_generate(cfg: LlamaConfig, prompt_len: int, max_len: int):
+    def fn(params, prompt):
+        b = prompt.shape[0]
+        shape = (cfg.n_layer, b, cfg.n_kv_head, max_len, cfg.head_dim)
+        ck = jnp.zeros(shape, jnp.float32)
+        cv = jnp.zeros(shape, jnp.float32)
+
+        # prefill token-by-token via the step path (simple, exercises the
+        # same code as generation; a fused context phase is the GPT model's
+        # pattern)
+        tokens = jnp.full((b, max_len), cfg.eos_token_id, jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
+
+        def prefill_body(i, carry):
+            ck, cv, last_logits = carry
+            logits, ck, cv = _step(params, cfg, tokens[:, i], i, ck, cv)
+            return ck, cv, logits
+
+        ck, cv, logits = jax.lax.fori_loop(
+            0, prompt_len, prefill_body,
+            (ck, cv, jnp.zeros((b, cfg.vocab_size), jnp.float32)),
+        )
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tokens = tokens.at[:, prompt_len].set(first)
+
+        state = _GenState(tokens, jnp.int32(prompt_len),
+                          first == cfg.eos_token_id, ck, cv)
+
+        def cond(s):
+            return jnp.logical_and(s.pos < max_len - 1, ~jnp.all(s.finished))
+
+        def body(s):
+            cur = jax.lax.dynamic_index_in_dim(s.tokens, s.pos, 1, keepdims=False)
+            logits, ck, cv = _step(params, cfg, cur, s.pos, s.cache_k, s.cache_v)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(s.finished, jnp.int32(cfg.eos_token_id), nxt)
+            finished = s.finished | (nxt == cfg.eos_token_id)
+            tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.pos + 1))
+            return _GenState(tokens, s.pos + 1, finished, ck, cv)
+
+        return jax.lax.while_loop(cond, body, state).tokens
+
+    return jax.jit(fn)
+
+
+def generate(params: dict, cfg: LlamaConfig, prompt: jnp.ndarray,
+             max_new_tokens: int) -> jnp.ndarray:
+    prompt_len = prompt.shape[1]
+    max_len = min(cfg.max_positions, prompt_len + max_new_tokens)
+    return _compiled_generate(cfg, prompt_len, max_len)(params, prompt)
+
+
+# -- HF conversion --------------------------------------------------------------
+
+def convert_hf_llama(hf_model) -> Tuple[dict, LlamaConfig]:
+    hc = hf_model.config
+    cfg = LlamaConfig(
+        vocab_size=hc.vocab_size, max_positions=hc.max_position_embeddings,
+        d_model=hc.hidden_size, n_layer=hc.num_hidden_layers,
+        n_head=hc.num_attention_heads,
+        n_kv_head=getattr(hc, "num_key_value_heads", hc.num_attention_heads),
+        ffn_dim=hc.intermediate_size, rms_eps=hc.rms_norm_eps,
+        rope_theta=getattr(hc, "rope_theta", 10000.0),
+        eos_token_id=hc.eos_token_id or 2,
+        tie_word_embeddings=getattr(hc, "tie_word_embeddings", False),
+    )
+    sd = {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
+
+    def lin(p):
+        return {"kernel": np.ascontiguousarray(sd[p + ".weight"].T)}
+
+    layers = []
+    for i in range(cfg.n_layer):
+        p = f"model.layers.{i}"
+        layers.append({
+            "input_norm": {"scale": sd[p + ".input_layernorm.weight"]},
+            "q": lin(p + ".self_attn.q_proj"),
+            "k": lin(p + ".self_attn.k_proj"),
+            "v": lin(p + ".self_attn.v_proj"),
+            "o": lin(p + ".self_attn.o_proj"),
+            "post_norm": {"scale": sd[p + ".post_attention_layernorm.weight"]},
+            "gate": lin(p + ".mlp.gate_proj"),
+            "up": lin(p + ".mlp.up_proj"),
+            "down": lin(p + ".mlp.down_proj"),
+        })
+    params = {
+        "embed_tokens": sd["model.embed_tokens.weight"],
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *layers),
+        "norm": {"scale": sd["model.norm.weight"]},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": np.ascontiguousarray(sd["lm_head.weight"].T)}
+    return params, cfg

@@ -3,9 +3,13 @@ from whisper_trtllm_tpu.models.whisper.model import (  # noqa: F401
     compute_cross_kv,
     decode_full,
     decode_step,
+    decode_step_kv,
+    decode_step_ragged,
     encode,
     init_params,
     init_self_kv,
+    init_self_kv_int8,
+    quantize_cross_kv,
 )
 from whisper_trtllm_tpu.models.whisper.convert import (  # noqa: F401
     convert_hf_model,

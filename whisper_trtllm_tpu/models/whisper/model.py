@@ -38,7 +38,12 @@ from whisper_trtllm_tpu.layers.transformer import (
     mlp_block,
     split_heads,
 )
-from whisper_trtllm_tpu.ops.attention import mha, mha_decode_step, update_kv_cache
+from whisper_trtllm_tpu.ops.attention import (
+    mha,
+    mha_decode_step,
+    quantize_kv,
+    update_kv_cache,
+)
 from whisper_trtllm_tpu.ops.functional import (
     conv1d,
     dense,
@@ -249,6 +254,107 @@ def init_self_kv(
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
+def quantize_cross_kv(
+    cross_k: jnp.ndarray, cross_v: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Float cross-KV → int8 4-tuple (kq, ks, vq, vs) for decode_step_kv
+    (QuantMode.INT8_KV_CACHE; cross-KV dominates per-step decode HBM traffic
+    since all 1500 encoder positions are read every token)."""
+    kq, ks = quantize_kv(cross_k)
+    vq, vs = quantize_kv(cross_v)
+    return kq, ks, vq, vs
+
+
+def init_self_kv_int8(
+    cfg: WhisperConfig, batch: int, max_len: Optional[int] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """int8 self-KV cache: (values int8, scales fp32) ×2, leading L axis."""
+    max_len = max_len or cfg.max_target_positions
+    shape = (
+        cfg.decoder_layers, batch, cfg.decoder_attention_heads,
+        max_len, cfg.decoder_head_dim,
+    )
+    sshape = shape[:-1] + (1,)
+    return (
+        jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32),
+        jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32),
+    )
+
+
+def decode_step_kv(
+    params: dict,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,
+    pos: jnp.ndarray,
+    self_kv: Tuple[jnp.ndarray, ...],
+    cross_kv: Tuple[jnp.ndarray, ...],
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+    """One decode step with pluggable cache precision.
+
+    ``self_kv``/``cross_kv`` are either float 2-tuples (k, v) or int8
+    4-tuples (k_q, k_scale, v_q, v_scale) — the int8 form is the reference's
+    INT8_KV_CACHE mode (reference: tensorrt_llm/quantization/mode.py +
+    attention int8 KV handling, layers/attention.py:235-245). Returns
+    (logits (B, V) fp32, updated self_kv tuple).
+    """
+    dec = params["decoder"]
+    heads = cfg.decoder_attention_heads
+    n_self = len(self_kv)
+    int8_self = n_self == 4
+    int8_cross = len(cross_kv) == 4
+
+    x = embedding(dec["embed_tokens"], tokens[:, None])
+    x = x + jax.lax.dynamic_slice_in_dim(
+        dec["embed_positions"], pos, 1, axis=0
+    ).astype(x.dtype)[None]
+
+    def body(x, xs):
+        lp = xs[0]
+        s = xs[1 : 1 + n_self]
+        c = xs[1 + n_self :]
+        # self-attention with cache append at `pos`
+        h = layer_norm(lp["self_attn_layer_norm"], x)
+        q, k_new, v_new = attention_qkv(lp["self_attn"], h, None, heads)
+        if int8_self:
+            skq, sks, svq, svs = s
+            k_q, k_s = quantize_kv(k_new)
+            v_q, v_s = quantize_kv(v_new)
+            skq, svq = update_kv_cache(skq, svq, k_q, v_q, pos)
+            sks, svs = update_kv_cache(sks, svs, k_s, v_s, pos)
+            a = mha_decode_step(q, skq, svq, pos + 1, k_scale=sks, v_scale=svs)
+            new_s = (skq, sks, svq, svs)
+        else:
+            sk, sv = update_kv_cache(s[0], s[1], k_new, v_new, pos)
+            a = mha_decode_step(q, sk, sv, pos + 1)
+            new_s = (sk, sv)
+        x = x + dense(lp["self_attn"]["out"], merge_heads(a))
+        # cross-attention against precomputed K/V; the true encoder length
+        # masks out any alignment padding in the cache
+        h = layer_norm(lp["encoder_attn_layer_norm"], x)
+        d = x.shape[-1]
+        qc = split_heads(dense(lp["encoder_attn"]["q"], h) * (d // heads) ** -0.5, heads)
+        enc_len = jnp.int32(cfg.max_source_positions)
+        if int8_cross:
+            a = mha_decode_step(qc, c[0], c[2], enc_len, k_scale=c[1], v_scale=c[3])
+        else:
+            a = mha_decode_step(qc, c[0], c[1], enc_len)
+        x = x + dense(lp["encoder_attn"]["out"], merge_heads(a))
+        # MLP
+        h = layer_norm(lp["final_layer_norm"], x)
+        x = x + mlp_block(lp, h)
+        return x, new_s
+
+    x, new_self = jax.lax.scan(
+        body, x, (dec["layers"],) + tuple(self_kv) + tuple(cross_kv)
+    )
+    x = layer_norm(dec["layer_norm"], x)
+    logits = jnp.einsum(
+        "bsd,vd->bsv", x, dec["embed_tokens"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    return logits, new_self
+
+
 def decode_step(
     params: dict,
     cfg: WhisperConfig,
@@ -259,7 +365,7 @@ def decode_step(
     cross_k: jnp.ndarray,
     cross_v: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One decode step for the whole batch, fully on device.
+    """One decode step for the whole batch, fully on device (float caches).
 
     tokens: (B,) int32 current-step input; pos: scalar int32 position.
     Returns (logits (B, V) fp32, updated self_k, self_v).
@@ -268,44 +374,9 @@ def decode_step(
     with shape inference + output malloc + 5 cache clones + synchronize
     (reference: examples/whisper/run.py:128-148).
     """
-    dec = params["decoder"]
-    heads = cfg.decoder_attention_heads
-
-    x = embedding(dec["embed_tokens"], tokens[:, None])
-    x = x + jax.lax.dynamic_slice_in_dim(
-        dec["embed_positions"], pos, 1, axis=0
-    ).astype(x.dtype)[None]
-
-    def body(x, xs):
-        lp, sk, sv, ck, cv = xs
-        # self-attention with cache append at `pos`
-        h = layer_norm(lp["self_attn_layer_norm"], x)
-        q, k_new, v_new = attention_qkv(lp["self_attn"], h, None, heads)
-        sk, sv = update_kv_cache(sk, sv, k_new, v_new, pos)
-        a = merge_heads(mha_decode_step(q, sk, sv, pos + 1))
-        x = x + dense(lp["self_attn"]["out"], a)
-        # cross-attention against precomputed K/V; the true encoder length
-        # masks out any alignment padding in the cache
-        h = layer_norm(lp["encoder_attn_layer_norm"], x)
-        d = x.shape[-1]
-        qc = split_heads(dense(lp["encoder_attn"]["q"], h) * (d // heads) ** -0.5, heads)
-        a = merge_heads(
-            mha_decode_step(qc, ck, cv, jnp.int32(cfg.max_source_positions))
-        )
-        x = x + dense(lp["encoder_attn"]["out"], a)
-        # MLP
-        h = layer_norm(lp["final_layer_norm"], x)
-        x = x + mlp_block(lp, h)
-        return x, (sk, sv)
-
-    x, (self_k, self_v) = jax.lax.scan(
-        body, x, (dec["layers"], self_k, self_v, cross_k, cross_v)
+    logits, (self_k, self_v) = decode_step_kv(
+        params, cfg, tokens, pos, (self_k, self_v), (cross_k, cross_v)
     )
-    x = layer_norm(dec["layer_norm"], x)
-    logits = jnp.einsum(
-        "bsd,vd->bsv", x, dec["embed_tokens"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )[:, 0]
     return logits, self_k, self_v
 
 

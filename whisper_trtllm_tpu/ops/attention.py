@@ -125,12 +125,32 @@ def update_kv_cache(
     return cache_k, cache_v
 
 
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token-per-head symmetric int8 quantization of K/V states
+    (reduced over head_dim). Analog of the reference's int8 KV-cache mode
+    (reference: tensorrt_llm/layers/attention.py int8 KV quant/dequant +
+    QuantMode.INT8_KV_CACHE, quantization/mode.py). Returns (int8 values,
+    fp32 scales with a trailing keepdim)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """int8 cache → compute dtype; XLA fuses the convert+mul into the
+    attention dot, so HBM reads stay int8 (4x less cache traffic than fp32)."""
+    return q.astype(dtype) * scale.astype(dtype)
+
+
 def mha_decode_step(
     q: jnp.ndarray,
     cache_k: jnp.ndarray,
     cache_v: jnp.ndarray,
     valid_len: jnp.ndarray,
     fp32_softmax: bool = True,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Single-token attention against a static cache.
 
@@ -152,9 +172,13 @@ def mha_decode_step(
     import os
 
     per_lane = getattr(valid_len, "ndim", 0) == 1
+    if k_scale is not None:  # int8 KV cache: dequant fuses into the dots
+        cache_k = dequantize_kv(cache_k, k_scale, q.dtype)
+        cache_v = dequantize_kv(cache_v, v_scale, q.dtype)
     if (
         not per_lane
         and cache_k.shape[2] % 8 == 0
+        and cache_k.dtype != jnp.int8
         and os.environ.get("WHISPER_TPU_FORCE_PALLAS_DECODE") == "1"
         and _use_pallas()
     ):

@@ -138,3 +138,23 @@ def conv1d(
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"].astype(y.dtype)
     return y
+
+
+def alibi_bias(num_heads: int, seq_len: int) -> jnp.ndarray:
+    """ALiBi attention bias (1, H, 1, S) — additive, broadcast over query
+    positions (analog of reference: tensorrt_llm/functional.py:3222-3283
+    generate_alibi_slopes/generate_alibi_biases, used by the Bloom family).
+    Slopes follow the ALiBi paper: geometric sequence based on the closest
+    power of two ≤ num_heads, with interpolated extra slopes."""
+    import math as _math
+
+    closest = 2 ** _math.floor(_math.log2(num_heads))
+    base = 2.0 ** (-(2.0 ** -(_math.log2(closest) - 3.0)))
+    slopes = [base ** (i + 1) for i in range(closest)]
+    if closest < num_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(_math.log2(2 * closest) - 3.0)))
+        n_extra = num_heads - closest
+        slopes += [extra_base ** (2 * i + 1) for i in range(n_extra)]
+    slopes_arr = jnp.asarray(slopes, jnp.float32)          # (H,)
+    positions = jnp.arange(seq_len, dtype=jnp.float32)     # (S,)
+    return (slopes_arr[:, None] * positions[None, :])[None, :, None, :]

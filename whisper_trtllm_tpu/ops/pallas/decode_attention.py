@@ -38,11 +38,12 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref):
     m = jnp.max(s, axis=0, keepdims=True)
     e = jnp.exp(s - m)
     p = (e / jnp.sum(e, axis=0, keepdims=True)).astype(v.dtype)  # (T, 1)
+    # Mosaic requires a 32-bit matmul accumulator (bf16 acc is rejected)
     o_ref[0] = jax.lax.dot_general(
         p, v,
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=v.dtype,
-    )                                   # (1, dh)
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)                   # (1, dh)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

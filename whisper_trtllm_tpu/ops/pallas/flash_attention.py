@@ -38,11 +38,12 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < valid_len, s, jnp.float32(-1e9))
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    # Mosaic requires a 32-bit matmul accumulator (bf16 acc is rejected)
     o_ref[0, 0] = jax.lax.dot_general(
         p, v,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=v.dtype,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:

@@ -22,6 +22,7 @@ import numpy as np
 from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
 from whisper_trtllm_tpu.models.whisper import model as wmodel
 from whisper_trtllm_tpu.runtime import logits_process as lp
+from whisper_trtllm_tpu.runtime import sampling
 
 
 class GreedyState(NamedTuple):
@@ -31,8 +32,8 @@ class GreedyState(NamedTuple):
     tokens: jnp.ndarray    # (B, max_len) i32
     pos: jnp.ndarray       # scalar i32 — index of the last filled position
     finished: jnp.ndarray  # (B,) bool
-    self_k: jnp.ndarray    # (L, B, H, max_len, dh)
-    self_v: jnp.ndarray
+    self_kv: tuple         # float (k, v) or int8 (kq, ks, vq, vs) caches
+    key: jnp.ndarray       # PRNG key (sampling; unused under pure greedy)
 
 
 def _greedy_decode_impl(
@@ -45,13 +46,21 @@ def _greedy_decode_impl(
     forced_map: jnp.ndarray,
     begin_index: int,
     timestamps: bool = False,
+    gen: Optional[GenerationConfig] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """enc_states (B, 1500, d) → (tokens (B, max_len), lengths (B,))."""
     batch = enc_states.shape[0]
     cache_dtype = enc_states.dtype
+    gen = gen or GenerationConfig()
+    kv_int8 = gen.kv_cache_dtype == "int8"
 
     cross_k, cross_v = wmodel.compute_cross_kv(params, cfg, enc_states)
-    self_k, self_v = wmodel.init_self_kv(cfg, batch, max_len, dtype=cache_dtype)
+    if kv_int8:
+        cross_kv = wmodel.quantize_cross_kv(cross_k, cross_v)
+        self_kv = wmodel.init_self_kv_int8(cfg, batch, max_len)
+    else:
+        cross_kv = (cross_k, cross_v)
+        self_kv = wmodel.init_self_kv(cfg, batch, max_len, dtype=cache_dtype)
 
     tokens0 = jnp.full((batch, max_len), cfg.pad_token_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(cfg.decoder_start_token_id)
@@ -60,8 +69,8 @@ def _greedy_decode_impl(
         tokens=tokens0,
         pos=jnp.int32(0),
         finished=jnp.zeros((batch,), bool),
-        self_k=self_k,
-        self_v=self_v,
+        self_kv=self_kv,
+        key=jax.random.PRNGKey(gen.seed),
     )
 
     def cond(s: GreedyState):
@@ -69,8 +78,8 @@ def _greedy_decode_impl(
 
     def body(s: GreedyState):
         cur = jax.lax.dynamic_index_in_dim(s.tokens, s.pos, axis=1, keepdims=False)
-        logits, sk, sv = wmodel.decode_step(
-            params, cfg, cur, s.pos, s.self_k, s.self_v, cross_k, cross_v
+        logits, new_self_kv = wmodel.decode_step_kv(
+            params, cfg, cur, s.pos, s.self_kv, cross_kv
         )
         nxt_pos = s.pos + 1
         logits = logits + suppress_mask[None]
@@ -81,13 +90,19 @@ def _greedy_decode_impl(
                 cfg.no_timestamps_token_id + 1, cfg.eos_token_id,
                 cfg.max_initial_timestamp_index,
             )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        step_key, carry_key = jax.random.split(s.key)
+        nxt = sampling.sample_token(
+            step_key, logits,
+            temperature=gen.temperature, top_k=gen.top_k, top_p=gen.top_p,
+            tokens=s.tokens, pos=s.pos,
+            repetition_penalty=gen.repetition_penalty,
+        )
         forced = forced_map[nxt_pos]
         nxt = jnp.where(forced >= 0, forced, nxt)
         nxt = jnp.where(s.finished, jnp.int32(cfg.pad_token_id), nxt)
         finished = jnp.logical_or(s.finished, nxt == cfg.eos_token_id)
         tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, nxt_pos))
-        return GreedyState(tokens, nxt_pos, finished, sk, sv)
+        return GreedyState(tokens, nxt_pos, finished, new_self_kv, carry_key)
 
     final = jax.lax.while_loop(cond, body, state)
 
@@ -100,7 +115,12 @@ def _greedy_decode_impl(
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled_greedy(cfg: WhisperConfig, max_len: int, timestamps: bool = False):
+def _compiled_greedy(
+    cfg: WhisperConfig,
+    max_len: int,
+    timestamps: bool = False,
+    gen: Optional[GenerationConfig] = None,
+):
     # numpy (not jnp) constants: this function may be first called inside an
     # outer jit trace, and jnp arrays created there would be tracers leaking
     # into the lru-cached closure.
@@ -115,7 +135,7 @@ def _compiled_greedy(cfg: WhisperConfig, max_len: int, timestamps: bool = False)
         return _greedy_decode_impl(
             params, cfg, enc_states, max_len,
             jnp.asarray(suppress_mask), jnp.asarray(begin_mask),
-            jnp.asarray(forced_map), begin_index, timestamps,
+            jnp.asarray(forced_map), begin_index, timestamps, gen,
         )
 
     return jax.jit(fn)
@@ -135,7 +155,7 @@ def greedy_decode(
     """
     gen = gen or GenerationConfig()
     max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)
-    return _compiled_greedy(cfg, max_len, gen.return_timestamps)(
+    return _compiled_greedy(cfg, max_len, gen.return_timestamps, gen)(
         params, enc_states
     )
 

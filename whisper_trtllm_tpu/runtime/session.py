@@ -111,6 +111,29 @@ class WhisperSession:
     def encode(self, mel) -> jnp.ndarray:
         return self._encode(self.params, jnp.asarray(mel, self._dtype))
 
+    def refit(self, params: dict) -> None:
+        """Hot-swap weights without recompiling (analog of TRT engine refit,
+        reference: tensorrt_llm/builder.py:162-201): the new tree is cast +
+        placed with the same shardings; compiled executables are reused since
+        shapes/dtypes are unchanged."""
+        params = wmodel.cast_params(params, self._dtype)
+        if self.mesh is not None:
+            from whisper_trtllm_tpu.parallel.partition import shard_params
+
+            self.params = shard_params(params, self.mesh)
+        else:
+            self.params = jax.device_put(params)
+
+    def memory_stats(self) -> dict:
+        """Device memory usage (analog of benchmarks/mem_monitor.py)."""
+        dev = jax.devices()[0]
+        stats = dev.memory_stats() or {}
+        return {
+            "bytes_in_use": stats.get("bytes_in_use"),
+            "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+            "bytes_limit": stats.get("bytes_limit"),
+        }
+
     def warmup(self, batch: int = 1) -> None:
         """Pre-compile for a batch size (the analog of engine build; with a
         persistent cache dir this is one-time per topology)."""

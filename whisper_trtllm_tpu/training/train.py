@@ -40,13 +40,18 @@ def make_train_step(
     cfg: WhisperConfig,
     optimizer: Optional[optax.GradientTransformation] = None,
     mesh=None,
+    remat: bool = False,
 ):
     """Returns (init_opt_state, jitted step). With a mesh, parameters keep
-    their NamedShardings and the batch is expected sharded over 'data'."""
+    their NamedShardings and the batch is expected sharded over 'data'.
+    ``remat=True`` rematerializes the forward (jax.checkpoint) to trade HBM
+    for FLOPs on memory-bound configs (SURVEY.md TPU guidance)."""
     optimizer = optimizer or optax.adamw(1e-4)
+    loss_fn = jax.checkpoint(cross_entropy_loss, static_argnums=(1,)) if remat \
+        else cross_entropy_loss
 
     def step(params, opt_state, mel, tokens, loss_mask):
-        loss, grads = jax.value_and_grad(cross_entropy_loss)(
+        loss, grads = jax.value_and_grad(loss_fn)(
             params, cfg, mel, tokens, loss_mask
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
