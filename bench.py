@@ -84,7 +84,10 @@ def main():
         for audio in audio_batches:
             mel = frontend.jit()(audio).astype(dtype)
             last, _ = pipeline(p, mel)
-        last.block_until_ready()
+        # fetch a scalar: a real D2H dependency is the only reliable
+        # completion barrier on this platform (block_until_ready has been
+        # observed to return early through the device tunnel)
+        np.asarray(last[0, -1])
         return time.perf_counter() - t0
 
     run_pass(params, jnp.float32)                  # warmup (compile)

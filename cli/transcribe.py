@@ -74,7 +74,9 @@ def main():
         mels, texts = _load_dataset(args.dataset, cfg.num_mel_bins)
     else:
         rng = np.random.default_rng(0)
-        mels = rng.standard_normal((8, 3000, cfg.num_mel_bins)).astype(np.float32) * 0.1
+        mels = rng.standard_normal(
+            (8, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+        ).astype(np.float32) * 0.1
         texts = [""] * len(mels)
 
     # pad the tail batch to a compiled shape

@@ -1,0 +1,65 @@
+"""CLI smoke tests (the L7 apps layer, analog of reference EX/ scripts),
+run in-process on tiny checkpoints."""
+
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+from whisper_trtllm_tpu.config import WhisperConfig
+from whisper_trtllm_tpu.models.whisper import init_params
+from whisper_trtllm_tpu.utils.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ckpt") / "tiny-test"
+    cfg = WhisperConfig.testing()
+    save_checkpoint(str(path), init_params(cfg, 0), cfg)
+    return str(path), cfg
+
+
+def _run(module, argv):
+    old = sys.argv
+    sys.argv = [module.split(".")[-1]] + argv
+    try:
+        runpy.run_module(module, run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+def test_transcribe_cli_synthetic(checkpoint, capsys):
+    path, cfg = checkpoint
+    _run("cli.transcribe",
+         ["--checkpoint", path, "--batch", "4", "--max-new-tokens", "6"])
+    out = capsys.readouterr().out
+    assert "audio-s/s" in out
+
+
+def test_transcribe_cli_dataset(checkpoint, tmp_path, capsys, rng):
+    import pickle
+
+    path, cfg = checkpoint
+    mels = [
+        (rng.standard_normal(
+            (2 * cfg.max_source_positions, cfg.num_mel_bins)
+         ).astype(np.float32), f"text {i}")
+        for i in range(3)
+    ]
+    ds = tmp_path / "ds.pkl"
+    with open(ds, "wb") as f:
+        pickle.dump(mels, f)
+    _run("cli.transcribe",
+         ["--checkpoint", path, "--dataset", str(ds), "--batch", "2",
+          "--max-new-tokens", "5"])
+    out = capsys.readouterr().out
+    assert "3 utterances" in out
+
+
+def test_benchmark_cli(capsys):
+    _run("whisper_trtllm_tpu.benchmarks.benchmark",
+         ["--model", "tiny_en", "--batch", "1", "--gen-tokens", "4",
+          "--iters", "2"])
+    out = capsys.readouterr().out
+    assert "latency_ms_p50" in out and "audio_s_per_s" in out

@@ -25,3 +25,17 @@ def test_loss_decreases(rng):
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_pallas_disabled_context():
+    """The training path must trace the jnp formulations (Pallas kernels
+    have no VJP); the context must nest and restore."""
+    from whisper_trtllm_tpu.ops.pallas import pallas_disabled, _disabled_depth  # noqa
+    import whisper_trtllm_tpu.ops.pallas as pk
+
+    assert pk._disabled_depth == 0
+    with pallas_disabled():
+        assert pk.pallas_enabled() is False
+        with pallas_disabled():
+            assert pk._disabled_depth == 2
+    assert pk._disabled_depth == 0

@@ -11,10 +11,28 @@ WHISPER_TPU_DISABLE_PALLAS=1 (the analog of PluginConfig feature flags,
 reference: tensorrt_llm/plugin/plugin.py:33-140).
 """
 
+import contextlib
 import os
+
+_disabled_depth = 0
+
+
+@contextlib.contextmanager
+def pallas_disabled():
+    """Force the XLA fallbacks inside this scope. Used by the training path:
+    the Pallas kernels define no VJP yet, so jax.grad must trace the plain
+    jnp formulations."""
+    global _disabled_depth
+    _disabled_depth += 1
+    try:
+        yield
+    finally:
+        _disabled_depth -= 1
 
 
 def pallas_enabled() -> bool:
+    if _disabled_depth > 0:
+        return False
     if os.environ.get("WHISPER_TPU_DISABLE_PALLAS") == "1":
         return False
     import jax
