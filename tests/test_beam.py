@@ -99,3 +99,24 @@ def test_beam_scores_sorted_and_finite(hf_pair, rng):
     scores = np.asarray(scores)
     assert (np.diff(scores, axis=1) <= 1e-6).all()  # best-first
     assert np.isfinite(scores[:, 0]).all()
+
+
+def test_beam_int8_kv_runs(hf_pair, rng):
+    """Beam search with int8 KV caches stays on the float trajectory early
+    and returns sorted finite scores."""
+    hf, params, cfg = hf_pair
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    enc = jax.jit(lambda p, m: encode(p, cfg, m))(params, mel)
+    tokens_f, scores_f, _ = beam_decode(
+        params, cfg, enc, GenerationConfig(max_new_tokens=8, num_beams=3)
+    )
+    tokens_q, scores_q, _ = beam_decode(
+        params, cfg, enc,
+        GenerationConfig(max_new_tokens=8, num_beams=3, kv_cache_dtype="int8"),
+    )
+    assert np.isfinite(np.asarray(scores_q)[:, 0]).all()
+    np.testing.assert_array_equal(
+        np.asarray(tokens_q)[:, 0, :3], np.asarray(tokens_f)[:, 0, :3]
+    )

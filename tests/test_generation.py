@@ -110,3 +110,18 @@ def test_eos_lanes_finish_independently(hf_pair, rng):
     for b in range(4):
         after = tokens[b, lengths[b]:]
         assert (after == cfg.pad_token_id).all()
+
+
+def test_detect_language_restricted_to_candidates(hf_pair, rng):
+    from whisper_trtllm_tpu.models.whisper import encode
+    from whisper_trtllm_tpu.runtime.generation import detect_language
+
+    hf, params, cfg = hf_pair
+    mel = rng.standard_normal(
+        (3, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    enc = encode(params, cfg, jnp.asarray(mel))
+    candidates = [20, 21, 22, 23]
+    langs = np.asarray(detect_language(params, cfg, enc, candidates))
+    assert langs.shape == (3,)
+    assert all(int(t) in candidates for t in langs)

@@ -94,3 +94,11 @@ def test_train_step_sharded_matches_unsharded(cfg, rng):
             jax.device_put(mask, ds),
         )
     np.testing.assert_allclose(float(loss_ref), float(loss_sharded), rtol=1e-5)
+
+
+def test_check_devices():
+    from whisper_trtllm_tpu.parallel.mesh import check_devices, make_mesh
+    from whisper_trtllm_tpu.config import MeshConfig
+
+    report = check_devices(make_mesh(MeshConfig(data=8, model=1)))
+    assert report == {"devices": 8, "ok": True}

@@ -124,3 +124,22 @@ def test_alibi_matches_hf_bloom():
             torch.ones(1, 12), h, torch.float32
         ).numpy().reshape(h, 1, 12)[:, 0, :]
         np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_mish_and_group_norm_match_torch(rng):
+    import torch
+
+    from whisper_trtllm_tpu.ops.functional import group_norm, mish
+
+    x = rng.standard_normal((2, 6, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(mish(jnp.asarray(x))),
+        torch.nn.functional.mish(torch.from_numpy(x)).numpy(), atol=1e-6,
+    )
+    gn = torch.nn.GroupNorm(2, 8)
+    ref = gn(torch.from_numpy(x.transpose(0, 2, 1))).detach().numpy().transpose(0, 2, 1)
+    ours = np.asarray(group_norm(
+        {"scale": gn.weight.detach().numpy(), "bias": gn.bias.detach().numpy()},
+        jnp.asarray(x), 2,
+    ))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)

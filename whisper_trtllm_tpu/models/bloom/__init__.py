@@ -1,0 +1,6 @@
+from whisper_trtllm_tpu.models.bloom.model import (  # noqa: F401
+    BloomConfig,
+    convert_hf_bloom,
+    forward,
+    init_params,
+)

@@ -1,0 +1,156 @@
+"""Bloom-family decoder-only model (zoo breadth): ALiBi positions, embedding
+LayerNorm, per-head-interleaved fused QKV.
+
+Analog of the reference's Bloom family (reference:
+tensorrt_llm/models/bloom/model.py, using the alibi graph op,
+tensorrt_llm/functional.py:3222-3283). No positional embedding table —
+the additive ALiBi bias inside attention carries position information.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_trtllm_tpu.layers.init import init_dense, init_embedding, init_layer_norm
+from whisper_trtllm_tpu.ops.attention import mha
+from whisper_trtllm_tpu.ops.functional import alibi_bias, dense, embedding, gelu, layer_norm
+
+
+@dataclass(frozen=True)
+class BloomConfig:
+    vocab_size: int = 250880
+    d_model: int = 1024
+    n_layer: int = 24
+    n_head: int = 16
+    layer_norm_eps: float = 1e-5
+    eos_token_id: int = 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_head
+
+    @classmethod
+    def testing(cls, **overrides) -> "BloomConfig":
+        kw = dict(vocab_size=89, d_model=32, n_layer=2, n_head=4,
+                  eos_token_id=2)
+        kw.update(overrides)
+        return cls(**kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def _init_layer(rng, cfg: BloomConfig) -> dict:
+    d = cfg.d_model
+    return {
+        "input_ln": init_layer_norm(d),
+        "q": init_dense(rng, d, d),
+        "k": init_dense(rng, d, d),
+        "v": init_dense(rng, d, d),
+        "attn_out": init_dense(rng, d, d),
+        "post_ln": init_layer_norm(d),
+        "fc_in": init_dense(rng, d, 4 * d),
+        "fc_out": init_dense(rng, 4 * d, d),
+    }
+
+
+def init_params(cfg: BloomConfig, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    layers = [_init_layer(rng, cfg) for _ in range(cfg.n_layer)]
+    return {
+        "word_embeddings": init_embedding(rng, cfg.vocab_size, cfg.d_model),
+        "embed_ln": init_layer_norm(cfg.d_model),
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *layers),
+        "ln_f": init_layer_norm(cfg.d_model),
+    }
+
+
+def forward(params: dict, cfg: BloomConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Teacher-forced: tokens (B, S) → logits (B, S, V) fp32."""
+    b, s = tokens.shape
+    dh = cfg.head_dim
+    x = embedding(params["word_embeddings"], tokens)
+    x = layer_norm(params["embed_ln"], x, cfg.layer_norm_eps)
+    # ALiBi replaces positional embeddings (additive bias on scores)
+    bias = alibi_bias(cfg.n_head, s)                    # (1, H, 1, S)
+
+    def heads(t):
+        return t.reshape(b, s, cfg.n_head, dh).transpose(0, 2, 1, 3)
+
+    def body(x, lp):
+        h = layer_norm(lp["input_ln"], x, cfg.layer_norm_eps)
+        q = heads(dense(lp["q"], h)) * dh ** -0.5
+        a = mha(q, heads(dense(lp["k"], h)), heads(dense(lp["v"], h)),
+                mask=bias, causal=True)
+        a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
+        x = x + dense(lp["attn_out"], a)
+        h = layer_norm(lp["post_ln"], x, cfg.layer_norm_eps)
+        x = x + dense(lp["fc_out"], gelu(dense(lp["fc_in"], h)))
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    return jnp.einsum(
+        "bsd,vd->bsv", x, params["word_embeddings"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def convert_hf_bloom(hf_model) -> Tuple[dict, BloomConfig]:
+    """transformers BloomForCausalLM → (params, config). Bloom's fused QKV
+    is per-head interleaved: weight (3d, d) viewed as (H, 3, dh, d) — split
+    into separate q/k/v kernels at conversion (the reference reorders the
+    same layout when binding weights)."""
+    hc = hf_model.config
+    cfg = BloomConfig(
+        vocab_size=hc.vocab_size, d_model=hc.hidden_size,
+        n_layer=hc.n_layer, n_head=hc.n_head,
+        layer_norm_eps=hc.layer_norm_epsilon,
+        eos_token_id=hc.eos_token_id if hc.eos_token_id is not None else 2,
+    )
+    sd = {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
+    d, h, dh = cfg.d_model, cfg.n_head, cfg.head_dim
+
+    def ln(p):
+        return {"scale": sd[p + ".weight"], "bias": sd[p + ".bias"]}
+
+    def lin(p):
+        return {"kernel": np.ascontiguousarray(sd[p + ".weight"].T),
+                "bias": sd[p + ".bias"]}
+
+    layers = []
+    for i in range(cfg.n_layer):
+        p = f"transformer.h.{i}"
+        qkv_w = sd[p + ".self_attention.query_key_value.weight"]  # (3d, d)
+        qkv_b = sd[p + ".self_attention.query_key_value.bias"]    # (3d,)
+        w = qkv_w.reshape(h, 3, dh, d)
+        bvec = qkv_b.reshape(h, 3, dh)
+
+        def proj(j):
+            # (H, dh, d) → kernel (d_in, d_out=H*dh)
+            kernel = w[:, j].reshape(h * dh, d).T
+            return {"kernel": np.ascontiguousarray(kernel),
+                    "bias": bvec[:, j].reshape(h * dh)}
+
+        layers.append({
+            "input_ln": ln(p + ".input_layernorm"),
+            "q": proj(0), "k": proj(1), "v": proj(2),
+            "attn_out": lin(p + ".self_attention.dense"),
+            "post_ln": ln(p + ".post_attention_layernorm"),
+            "fc_in": lin(p + ".mlp.dense_h_to_4h"),
+            "fc_out": lin(p + ".mlp.dense_4h_to_h"),
+        })
+    params = {
+        "word_embeddings": sd["transformer.word_embeddings.weight"],
+        "embed_ln": ln("transformer.word_embeddings_layernorm"),
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *layers),
+        "ln_f": ln("transformer.ln_f"),
+    }
+    return params, cfg

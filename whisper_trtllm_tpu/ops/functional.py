@@ -158,3 +158,31 @@ def alibi_bias(num_heads: int, seq_len: int) -> jnp.ndarray:
     slopes_arr = jnp.asarray(slopes, jnp.float32)          # (H,)
     positions = jnp.arange(seq_len, dtype=jnp.float32)     # (S,)
     return (slopes_arr[:, None] * positions[None, :])[None, :, None, :]
+
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    """Mish activation (reference: tensorrt_llm/layers/activation.py Mish)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+ACT2FN["mish"] = mish
+ACT2FN["gelu_pytorch_tanh"] = ACT2FN["gelu_new"]
+
+
+def group_norm(
+    params: dict, x: jnp.ndarray, num_groups: int, eps: float = 1e-5
+) -> jnp.ndarray:
+    """GroupNorm over (B, *spatial, C) activations — statistics per
+    (batch, group) across the group's channels AND all spatial positions,
+    matching torch.nn.GroupNorm (reference: tensorrt_llm/functional.py
+    group_norm — used by the UNet family). fp32 statistics."""
+    dtype = x.dtype
+    b, c = x.shape[0], x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    y = y * params["scale"].astype(jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(dtype)

@@ -52,3 +52,26 @@ def initialize_distributed(**kwargs) -> None:
     Replaces the reference's mpirun/MPI world (reference:
     docs/architecture.md:238-249)."""
     jax.distributed.initialize(**kwargs)
+
+
+def check_devices(mesh: Optional[Mesh] = None) -> dict:
+    """Startup health check: run a tiny psum over every device and verify
+    the result (SURVEY.md §5 failure-detection row: the reference has only
+    assert-and-abort; this is the clean multi-host startup check). Returns
+    {'devices': N, 'ok': bool}."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh or make_mesh()
+    n = mesh.size
+    x = jax.device_put(
+        np.ones((n, 1), np.float32),
+        NamedSharding(mesh, P(mesh.axis_names[0] if mesh.shape[mesh.axis_names[0]] == n else None)),
+    )
+
+    def fn(x):
+        return jnp.sum(x)
+
+    with mesh:
+        total = float(jax.jit(fn)(x))
+    return {"devices": n, "ok": abs(total - n) < 1e-6}

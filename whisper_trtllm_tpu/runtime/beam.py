@@ -33,8 +33,7 @@ class BeamState(NamedTuple):
     finished_scores: jnp.ndarray  # (B, K) length-penalized
     finished_lengths: jnp.ndarray # (B, K)
     pos: jnp.ndarray              # scalar
-    self_k: jnp.ndarray           # (L, B*K, H, max_len, dh)
-    self_v: jnp.ndarray
+    self_kv: tuple                # float (k, v) or int8 (kq, ks, vq, vs)
 
 
 def _gather_beams(x: jnp.ndarray, parents: jnp.ndarray, batch: int, k: int):
@@ -66,6 +65,7 @@ def _beam_decode_impl(
     begin_suppress_mask: jnp.ndarray,
     forced_map: jnp.ndarray,
     begin_index: int,
+    kv_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     batch = enc_states.shape[0]
     dtype = enc_states.dtype
@@ -76,7 +76,12 @@ def _beam_decode_impl(
     # tensorrt_llm/runtime/generation.py:30,898-915), done once at setup
     enc_tiled = jnp.repeat(enc_states, k, axis=0)
     cross_k, cross_v = wmodel.compute_cross_kv(params, cfg, enc_tiled)
-    self_k, self_v = wmodel.init_self_kv(cfg, batch * k, max_len, dtype=dtype)
+    if kv_int8:
+        cross_kv = wmodel.quantize_cross_kv(cross_k, cross_v)
+        self_kv = wmodel.init_self_kv_int8(cfg, batch * k, max_len)
+    else:
+        cross_kv = (cross_k, cross_v)
+        self_kv = wmodel.init_self_kv(cfg, batch * k, max_len, dtype=dtype)
 
     alive_tokens = jnp.full((batch, k, max_len), cfg.pad_token_id, jnp.int32)
     alive_tokens = alive_tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
@@ -92,8 +97,7 @@ def _beam_decode_impl(
         finished_scores=jnp.full((batch, k), NEG_INF),
         finished_lengths=jnp.zeros((batch, k), jnp.int32),
         pos=jnp.int32(0),
-        self_k=self_k,
-        self_v=self_v,
+        self_kv=self_kv,
     )
 
     def batch_done(s: BeamState):
@@ -108,8 +112,8 @@ def _beam_decode_impl(
         cur = jax.lax.dynamic_index_in_dim(
             s.alive_tokens, s.pos, axis=2, keepdims=False
         ).reshape(batch * k)
-        logits, sk, sv = wmodel.decode_step(
-            params, cfg, cur, s.pos, s.self_k, s.self_v, cross_k, cross_v
+        logits, new_self_kv = wmodel.decode_step_kv(
+            params, cfg, cur, s.pos, s.self_kv, cross_kv
         )
         nxt_pos = s.pos + 1
         logits = logits + suppress_mask[None]
@@ -173,14 +177,16 @@ def _beam_decode_impl(
         new_fin_tokens = _gather_beams(merged_tokens, fin_sel, batch, 3 * k)
         new_fin_lengths = jnp.take_along_axis(merged_lengths, fin_sel, axis=1)
 
-        # ---- reorder caches to the surviving alive beams ----
-        sk = _gather_beams(sk, alive_parents, batch, k)
-        sv = _gather_beams(sv, alive_parents, batch, k)
+        # ---- reorder caches to the surviving alive beams (values and, in
+        # int8 mode, their scales) ----
+        new_self_kv = tuple(
+            _gather_beams(c, alive_parents, batch, k) for c in new_self_kv
+        )
 
         return BeamState(
             new_alive_tokens, new_alive_scores,
             new_fin_tokens, new_fin_scores, new_fin_lengths,
-            nxt_pos, sk, sv,
+            nxt_pos, new_self_kv,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -209,7 +215,8 @@ def _beam_decode_impl(
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled_beam(cfg: WhisperConfig, max_len: int, k: int, length_penalty: float):
+def _compiled_beam(cfg: WhisperConfig, max_len: int, k: int,
+                   length_penalty: float, kv_int8: bool = False):
     suppress_mask = lp.build_suppress_mask(cfg)
     begin_mask = lp.build_begin_suppress_mask(cfg)
     forced_map, begin_index = lp.build_forced_map(cfg, max_len)
@@ -218,7 +225,7 @@ def _compiled_beam(cfg: WhisperConfig, max_len: int, k: int, length_penalty: flo
         return _beam_decode_impl(
             params, cfg, enc_states, max_len, k, length_penalty,
             jnp.asarray(suppress_mask), jnp.asarray(begin_mask),
-            jnp.asarray(forced_map), begin_index,
+            jnp.asarray(forced_map), begin_index, kv_int8,
         )
 
     return jax.jit(fn)
@@ -233,6 +240,7 @@ def beam_decode(
     """Returns (tokens (B, K, max_len) best-first, scores (B, K),
     lengths (B, K))."""
     max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)
-    return _compiled_beam(cfg, max_len, gen.num_beams, gen.length_penalty)(
-        params, enc_states
-    )
+    return _compiled_beam(
+        cfg, max_len, gen.num_beams, gen.length_penalty,
+        gen.kv_cache_dtype == "int8",
+    )(params, enc_states)

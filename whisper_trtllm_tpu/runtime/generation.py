@@ -170,3 +170,26 @@ def transcribe_tokens(
     end to end on device."""
     enc = wmodel.encode(params, cfg, mel)
     return greedy_decode(params, cfg, enc, gen)
+
+
+def detect_language(
+    params: dict,
+    cfg: WhisperConfig,
+    enc_states: jnp.ndarray,
+    lang_token_ids,
+) -> jnp.ndarray:
+    """Language identification for multilingual checkpoints: one decode step
+    from <|startoftranscript|>, argmax restricted to the language tokens
+    (mirrors HF WhisperForConditionalGeneration.detect_language semantics;
+    the reference pipeline is .en-only and skips this). Returns (B,) token
+    ids drawn from ``lang_token_ids``."""
+    batch = enc_states.shape[0]
+    cross_kv = wmodel.compute_cross_kv(params, cfg, enc_states)
+    self_kv = wmodel.init_self_kv(cfg, batch, 2, dtype=enc_states.dtype)
+    start = jnp.full((batch,), cfg.decoder_start_token_id, jnp.int32)
+    logits, _ = wmodel.decode_step_kv(
+        params, cfg, start, jnp.int32(0), self_kv, cross_kv
+    )
+    ids = jnp.asarray(np.asarray(lang_token_ids, np.int32))
+    lang_logits = logits[:, ids]                      # (B, n_langs)
+    return ids[jnp.argmax(lang_logits, axis=-1)]

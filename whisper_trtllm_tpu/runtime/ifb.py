@@ -186,6 +186,22 @@ class InflightBatcher:
         self._queue.append((rid, mel))
         return rid
 
+    def submit_audio(self, audio: np.ndarray) -> int:
+        """Raw 16 kHz audio (any length ≤ 30 s; padded/trimmed) → request id.
+        Runs the on-device log-mel frontend."""
+        from whisper_trtllm_tpu.audio.features import (
+            LogMelSpectrogram, pad_or_trim,
+        )
+
+        if not hasattr(self, "_frontend"):
+            self._frontend = LogMelSpectrogram(self.cfg.num_mel_bins)
+        mel = np.asarray(
+            self._frontend.jit()(
+                jnp.asarray(pad_or_trim(np.asarray(audio, np.float32))[None])
+            )
+        )
+        return self.submit(mel)
+
     def fetch(self, request_id: int) -> Optional[np.ndarray]:
         return self._results.pop(request_id, None)
 
