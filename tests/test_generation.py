@@ -125,3 +125,44 @@ def test_detect_language_restricted_to_candidates(hf_pair, rng):
     langs = np.asarray(detect_language(params, cfg, enc, candidates))
     assert langs.shape == (3,)
     assert all(int(t) in candidates for t in langs)
+
+
+def test_prompted_greedy_matches_hf_decoder_input_ids(hf_pair, rng):
+    """Seeding with a decoder prompt must match HF generate(decoder_input_ids=...)."""
+    import torch
+
+    from whisper_trtllm_tpu.models.whisper import encode
+    from whisper_trtllm_tpu.runtime.generation import greedy_decode_prompted
+
+    hf, params, cfg = hf_pair
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    prompt = np.asarray(
+        [[cfg.decoder_start_token_id, 11, 13],
+         [cfg.decoder_start_token_id, 11, 17]], np.int32)
+
+    with torch.no_grad():
+        theirs = hf.generate(
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            decoder_input_ids=torch.from_numpy(prompt.astype(np.int64)),
+            max_new_tokens=8, do_sample=False,
+        ).numpy()
+
+    enc = encode(params, cfg, jnp.asarray(mel))
+    tokens, lengths = greedy_decode_prompted(
+        params, cfg, enc, prompt, GenerationConfig(max_new_tokens=8)
+    )
+    tokens = np.asarray(tokens)
+    # our buffer holds [prompt | generated]; HF returns only the generated
+    # continuation here — compare that region
+    p = prompt.shape[1]
+    for b in range(2):
+        ours_gen = tokens[b, p:]
+        theirs_b = theirs[b]
+        if (theirs_b == cfg.eos_token_id).any():
+            theirs_b = theirs_b[: np.argmax(theirs_b == cfg.eos_token_id) + 1]
+        n = min(len(theirs_b), len(ours_gen))
+        np.testing.assert_array_equal(ours_gen[:n], theirs_b[:n])
+        # the prompt itself is preserved verbatim
+        np.testing.assert_array_equal(tokens[b, :p], prompt[b])

@@ -67,3 +67,19 @@ def test_bf16_session_runs(cfg, params, rng):
     ).astype(np.float32)
     tokens, lengths = sess.transcribe_features(mel)
     assert np.isfinite(lengths).all()
+
+
+def test_orbax_sharded_roundtrip(tmp_path, cfg, params):
+    import jax
+
+    from whisper_trtllm_tpu.config import MeshConfig
+    from whisper_trtllm_tpu.parallel import make_mesh, shard_params
+    from whisper_trtllm_tpu.utils.checkpoint import load_sharded, save_sharded
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    sharded = shard_params(params, mesh)
+    save_sharded(str(tmp_path / "orbax_ckpt"), sharded)
+    restored = load_sharded(str(tmp_path / "orbax_ckpt"))
+    for a, b in zip(jax.tree_util.tree_leaves(sharded),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -62,6 +62,15 @@ def _stack(trees: list) -> dict:
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *trees)
 
 
+def _scan_unroll() -> int:
+    """Layer-scan unroll factor for the decode step (trace-time). Unrolling
+    lets XLA overlap one layer's weight DMA with the previous layer's
+    compute at one-token-per-step sizes; tune via WHISPER_TPU_SCAN_UNROLL."""
+    import os
+
+    return int(os.environ.get("WHISPER_TPU_SCAN_UNROLL", "1"))
+
+
 def _init_encoder_layer(rng, cfg: WhisperConfig) -> dict:
     d = cfg.d_model
     return {
@@ -345,7 +354,8 @@ def decode_step_kv(
         return x, new_s
 
     x, new_self = jax.lax.scan(
-        body, x, (dec["layers"],) + tuple(self_kv) + tuple(cross_kv)
+        body, x, (dec["layers"],) + tuple(self_kv) + tuple(cross_kv),
+        unroll=_scan_unroll(),
     )
     x = layer_norm(dec["layer_norm"], x)
     logits = jnp.einsum(

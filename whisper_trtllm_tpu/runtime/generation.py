@@ -193,3 +193,86 @@ def detect_language(
     ids = jnp.asarray(np.asarray(lang_token_ids, np.int32))
     lang_logits = logits[:, ids]                      # (B, n_langs)
     return ids[jnp.argmax(lang_logits, axis=-1)]
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_greedy_prompted(cfg: WhisperConfig, max_len: int, prompt_len: int):
+    suppress_mask = lp.build_suppress_mask(cfg)
+    begin_mask = lp.build_begin_suppress_mask(cfg)
+
+    def fn(params, enc_states, prompt):
+        batch = enc_states.shape[0]
+        cross_k, cross_v = wmodel.compute_cross_kv(params, cfg, enc_states)
+        cross_kv = (cross_k, cross_v)
+        self_kv = wmodel.init_self_kv(cfg, batch, max_len,
+                                      dtype=enc_states.dtype)
+        tokens0 = jnp.full((batch, max_len), cfg.pad_token_id, jnp.int32)
+        tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt, (0, 0))
+        state = GreedyState(
+            tokens=tokens0, pos=jnp.int32(0),
+            finished=jnp.zeros((batch,), bool), self_kv=self_kv,
+            key=jax.random.PRNGKey(0),
+        )
+        sup = jnp.asarray(suppress_mask)
+        beg = jnp.asarray(begin_mask)
+        begin_index = prompt_len  # first free position
+
+        def cond(s):
+            return jnp.logical_and(s.pos < max_len - 1, ~jnp.all(s.finished))
+
+        def body(s):
+            cur = jax.lax.dynamic_index_in_dim(s.tokens, s.pos, 1, keepdims=False)
+            logits, new_self_kv = wmodel.decode_step_kv(
+                params, cfg, cur, s.pos, s.self_kv, cross_kv
+            )
+            nxt_pos = s.pos + 1
+            logits = logits + sup[None]
+            logits = jnp.where(nxt_pos == begin_index,
+                               logits + beg[None], logits)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # inside the prompt window, the next token is the prompt token
+            in_prompt = nxt_pos < prompt_len
+            prompt_tok = jnp.take_along_axis(
+                prompt, jnp.minimum(nxt_pos, prompt_len - 1)[None, None]
+                .repeat(prompt.shape[0], 0), axis=1
+            )[:, 0]
+            nxt = jnp.where(in_prompt, prompt_tok, nxt)
+            nxt = jnp.where(s.finished, jnp.int32(cfg.pad_token_id), nxt)
+            finished = jnp.logical_or(
+                s.finished, jnp.logical_and(~in_prompt, nxt == cfg.eos_token_id)
+            )
+            tokens = jax.lax.dynamic_update_slice(
+                s.tokens, nxt[:, None], (0, nxt_pos))
+            return GreedyState(tokens, nxt_pos, finished, new_self_kv, s.key)
+
+        final = jax.lax.while_loop(cond, body, state)
+        is_eos = final.tokens == cfg.eos_token_id
+        # ignore any EOS inside the prompt window
+        col = jnp.arange(max_len)[None]
+        is_eos = jnp.logical_and(is_eos, col >= prompt_len)
+        any_eos = jnp.any(is_eos, axis=1)
+        first_eos = jnp.argmax(is_eos, axis=1)
+        lengths = jnp.where(any_eos, first_eos + 1, max_len).astype(jnp.int32)
+        return final.tokens, lengths
+
+    return jax.jit(fn)
+
+
+def greedy_decode_prompted(
+    params: dict,
+    cfg: WhisperConfig,
+    enc_states: jnp.ndarray,
+    prompt: jnp.ndarray,
+    gen: Optional[GenerationConfig] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy decode seeded with a full decoder prompt (B, P) — e.g.
+    [<|startofprev|>, ...prev text..., <|startoftranscript|>, lang, task]
+    for conditioned long-form, or HF's decoder_input_ids. The prompt is
+    teacher-forced through the same cached loop (prompt prefill)."""
+    gen = gen or GenerationConfig()
+    prompt = jnp.asarray(prompt, jnp.int32)
+    prompt_len = prompt.shape[1]
+    max_len = min(cfg.max_target_positions, gen.max_new_tokens + prompt_len)
+    return _compiled_greedy_prompted(cfg, max_len, prompt_len)(
+        params, enc_states, prompt
+    )

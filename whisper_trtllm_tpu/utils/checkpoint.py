@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
@@ -50,3 +50,33 @@ def init_compilation_cache(cache_dir: str) -> None:
 
     os.makedirs(cache_dir, exist_ok=True)
     cc.set_cache_dir(cache_dir)
+
+
+def save_sharded(path: str, params: dict) -> None:
+    """Sharded checkpoint via orbax (multi-host safe: each host writes its
+    shards). Use for TP/DP-sharded trees; the msgpack path above is the
+    single-host artifact."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+
+
+def load_sharded(path: str, target: Optional[dict] = None,
+                 shardings: Optional[dict] = None) -> dict:
+    """Restore an orbax checkpoint; with ``shardings`` (a tree of
+    jax.sharding.Sharding) arrays land directly on devices in the right
+    layout (no host-memory spike)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    if shardings is not None:
+        restore_args = jax.tree_util.tree_map(
+            lambda s: ocp.ArrayRestoreArgs(sharding=s), shardings,
+            is_leaf=lambda x: not isinstance(x, dict),
+        )
+        return ckptr.restore(
+            os.path.abspath(path),
+            restore_args=restore_args,
+        )
+    return ckptr.restore(os.path.abspath(path))
