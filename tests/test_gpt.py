@@ -58,3 +58,18 @@ def test_generate_eos_padding(hf_pair):
     eos_pos = np.nonzero(out[0] == cfg.eos_token_id)[0]
     if len(eos_pos):
         assert (out[0, eos_pos[0]:] == cfg.eos_token_id).all()
+
+
+def test_sampled_generate_deterministic_and_diverse(hf_pair, rng):
+    hf, params, cfg = hf_pair
+    prompt = rng.integers(3, cfg.vocab_size, (2, 4)).astype(np.int32)
+    a = np.asarray(generate(params, cfg, jnp.asarray(prompt), 10,
+                            temperature=1.3, top_k=8, seed=7))
+    b = np.asarray(generate(params, cfg, jnp.asarray(prompt), 10,
+                            temperature=1.3, top_k=8, seed=7))
+    c = np.asarray(generate(params, cfg, jnp.asarray(prompt), 10,
+                            temperature=1.3, top_k=8, seed=8))
+    np.testing.assert_array_equal(a, b)   # deterministic per seed
+    assert not np.array_equal(a, c)       # seeds diverge
+    greedy = np.asarray(generate(params, cfg, jnp.asarray(prompt), 10))
+    assert greedy.shape == a.shape

@@ -133,3 +133,40 @@ def test_bf16_decode_runs(hf_pair, rng):
     logits = jax.jit(lambda p, t, e: decode_full(p, cfg, t, e))(p16, tokens, enc)
     assert logits.dtype == jnp.float32
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_decode_chunk_matches_steps(hf_pair, rng):
+    """Chunked (context-phase) decode == step-by-step decode exactly,
+    including mid-sequence chunks over a warm cache."""
+    from whisper_trtllm_tpu.models.whisper import decode_chunk, decode_step_kv
+
+    hf, params, cfg = hf_pair
+    mel = _mel(rng, cfg)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    enc = encode(params, cfg, jnp.asarray(mel))
+    ck, cv = compute_cross_kv(params, cfg, enc)
+
+    # reference: pure step loop
+    skv = init_self_kv(cfg, 2)
+    step_logits = []
+    for i in range(8):
+        lg, skv = decode_step_kv(params, cfg, jnp.asarray(tokens[:, i]),
+                                 jnp.int32(i), skv, (ck, cv))
+        step_logits.append(np.asarray(lg))
+    step_logits = np.stack(step_logits, 1)
+
+    # chunked: 3 tokens stepwise, then a 5-token chunk
+    skv2 = init_self_kv(cfg, 2)
+    out = []
+    for i in range(3):
+        lg, skv2 = decode_step_kv(params, cfg, jnp.asarray(tokens[:, i]),
+                                  jnp.int32(i), skv2, (ck, cv))
+        out.append(np.asarray(lg)[:, None])
+    lg, skv2 = decode_chunk(params, cfg, jnp.asarray(tokens[:, 3:]),
+                            jnp.int32(3), skv2, (ck, cv))
+    out.append(np.asarray(lg))
+    chunk_logits = np.concatenate(out, axis=1)
+    np.testing.assert_allclose(chunk_logits, step_logits, atol=2e-5, rtol=1e-4)
+    # caches identical afterwards
+    for a, b in zip(skv, skv2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -1,6 +1,7 @@
 from whisper_trtllm_tpu.models.whisper.model import (  # noqa: F401
     cast_params,
     compute_cross_kv,
+    decode_chunk,
     decode_full,
     decode_step,
     decode_step_kv,

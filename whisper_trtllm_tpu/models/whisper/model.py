@@ -441,3 +441,70 @@ def decode_step_ragged(
         preferred_element_type=jnp.float32,
     )[:, 0]
     return logits, self_k, self_v
+
+
+def decode_chunk(
+    params: dict,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,
+    pos: jnp.ndarray,
+    self_kv: Tuple[jnp.ndarray, ...],
+    cross_kv: Tuple[jnp.ndarray, ...],
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+    """Multi-token decode: process a chunk of S tokens at positions
+    [pos, pos+S) against the cache in ONE pass (the "context phase" of the
+    reference's gptAttentionPlugin, reference: cpp/tensorrt_llm/plugins/
+    gptAttentionPlugin/ — causal within the chunk, full visibility of the
+    cached prefix). Float caches only. Returns (logits (B, S, V) fp32,
+    updated self_kv). Used for prompt prefill and speculative verification.
+    """
+    dec = params["decoder"]
+    heads = cfg.decoder_attention_heads
+    b, s = tokens.shape
+    sk0, sv0 = self_kv
+    t = sk0.shape[3]
+
+    x = embedding(dec["embed_tokens"], tokens)
+    pos_emb = jax.lax.dynamic_slice_in_dim(dec["embed_positions"], pos, s, axis=0)
+    x = x + pos_emb.astype(x.dtype)[None]
+
+    # mask over cache columns: column c visible to chunk row r iff c <= pos+r
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, t), 3)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, t), 2)
+    vis = col <= (pos + row)
+    addmask = jnp.where(vis, 0.0, -1e9).astype(jnp.float32)
+
+    def body(x, xs):
+        lp, sk, sv, ck, cv = xs
+        h = layer_norm(lp["self_attn_layer_norm"], x)
+        q, k_new, v_new = attention_qkv(lp["self_attn"], h, None, heads)
+        zero = jnp.zeros((), jnp.int32)
+        sk = jax.lax.dynamic_update_slice(
+            sk, k_new.astype(sk.dtype), (zero, zero, pos, zero))
+        sv = jax.lax.dynamic_update_slice(
+            sv, v_new.astype(sv.dtype), (zero, zero, pos, zero))
+        a = merge_heads(mha(q, sk, sv, mask=addmask))
+        x = x + dense(lp["self_attn"]["out"], a)
+
+        h = layer_norm(lp["encoder_attn_layer_norm"], x)
+        d = x.shape[-1]
+        qc = split_heads(dense(lp["encoder_attn"]["q"], h) * (d // heads) ** -0.5, heads)
+        tc = ck.shape[2]
+        ccol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, tc), 3)
+        cmask = jnp.where(ccol < cfg.max_source_positions, 0.0, -1e9).astype(jnp.float32)
+        a = merge_heads(mha(qc, ck, cv, mask=cmask))
+        x = x + dense(lp["encoder_attn"]["out"], a)
+
+        h = layer_norm(lp["final_layer_norm"], x)
+        x = x + mlp_block(lp, h)
+        return x, (sk, sv)
+
+    x, new_self = jax.lax.scan(
+        body, x, (dec["layers"], sk0, sv0) + tuple(cross_kv)
+    )
+    x = layer_norm(dec["layer_norm"], x)
+    logits = jnp.einsum(
+        "bsd,vd->bsv", x, dec["embed_tokens"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, new_self
