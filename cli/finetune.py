@@ -1,0 +1,100 @@
+"""Fine-tuning CLI: adapt a Whisper checkpoint on (mel, token) pairs.
+
+Beyond the reference (inference-only): a minimal but real training driver on
+the sharded train step (training/train.py) — DP over 'data', optional TP
+over 'model', remat for memory, checkpoint save per epoch.
+
+Usage:
+  python -m cli.finetune --checkpoint engines/tiny.en --dataset train.pkl \
+      --output engines/tiny.en-ft [--epochs 1] [--batch 8] [--lr 1e-5] \
+      [--data-parallel N] [--model-parallel M] [--remat]
+
+The dataset pickle holds (mel (3000, M) float32, token_ids list[int]) pairs
+(token ids must include decoder_start and EOS).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import time
+
+import numpy as np
+
+
+def _pad_tokens(seqs, pad_id, max_len):
+    out = np.full((len(seqs), max_len), pad_id, np.int32)
+    mask = np.zeros((len(seqs), max_len - 1), np.float32)
+    for i, s in enumerate(seqs):
+        s = np.asarray(s, np.int32)[:max_len]
+        out[i, : len(s)] = s
+        mask[i, : max(len(s) - 1, 0)] = 1.0
+    return out, mask
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-5)
+    ap.add_argument("--max-target-len", type=int, default=128)
+    ap.add_argument("--data-parallel", type=int, default=1)
+    ap.add_argument("--model-parallel", type=int, default=1)
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from whisper_trtllm_tpu.config import MeshConfig
+    from whisper_trtllm_tpu.parallel import make_mesh, shard_params
+    from whisper_trtllm_tpu.training import make_train_step
+    from whisper_trtllm_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    params, cfg = load_checkpoint(args.checkpoint)
+    with open(args.dataset, "rb") as f:
+        data = pickle.load(f)
+
+    mesh = None
+    if args.data_parallel * args.model_parallel > 1:
+        mesh = make_mesh(MeshConfig(args.data_parallel, args.model_parallel))
+        params = shard_params(params, mesh)
+
+    init_opt, step = make_train_step(
+        cfg, optax.adamw(args.lr), mesh=mesh, remat=args.remat
+    )
+    opt_state = init_opt(params)
+
+    n = len(data)
+    for epoch in range(args.epochs):
+        perm = np.random.default_rng(epoch).permutation(n)
+        losses = []
+        t0 = time.time()
+        for i in range(0, n - args.batch + 1, args.batch):
+            idx = perm[i : i + args.batch]
+            mel = np.stack([np.asarray(data[j][0], np.float32) for j in idx])
+            if mel.shape[1] == cfg.num_mel_bins:      # (M, T) → (T, M)
+                mel = mel.transpose(0, 2, 1)
+            tokens, mask = _pad_tokens(
+                [data[j][1] for j in idx], cfg.pad_token_id, args.max_target_len
+            )
+            if mesh is not None:
+                ds = NamedSharding(mesh, P("data"))
+                mel = jax.device_put(mel, ds)
+                tokens = jax.device_put(tokens, ds)
+                mask = jax.device_put(mask, ds)
+            params, opt_state, loss = step(params, opt_state, mel, tokens, mask)
+            losses.append(float(loss))
+        print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
+              f"({len(losses)} steps, {time.time() - t0:.1f}s)")
+
+    save_checkpoint(args.output, params, cfg)
+    print(f"saved fine-tuned checkpoint to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,3 +63,30 @@ def test_benchmark_cli(capsys):
           "--iters", "2"])
     out = capsys.readouterr().out
     assert "latency_ms_p50" in out and "audio_s_per_s" in out
+
+
+def test_finetune_cli(checkpoint, tmp_path, capsys, rng):
+    import pickle
+
+    path, cfg = checkpoint
+    data = [
+        (rng.standard_normal(
+            (2 * cfg.max_source_positions, cfg.num_mel_bins)
+         ).astype(np.float32),
+         [cfg.decoder_start_token_id, 11, 12, cfg.eos_token_id])
+        for _ in range(4)
+    ]
+    ds = tmp_path / "train.pkl"
+    with open(ds, "wb") as f:
+        pickle.dump(data, f)
+    out = tmp_path / "ft"
+    _run("cli.finetune",
+         ["--checkpoint", path, "--dataset", str(ds), "--output", str(out),
+          "--batch", "2", "--epochs", "2", "--max-target-len",
+          str(cfg.max_target_positions)])
+    printed = capsys.readouterr().out
+    assert "epoch 1" in printed and "saved fine-tuned checkpoint" in printed
+    from whisper_trtllm_tpu.utils.checkpoint import load_checkpoint
+
+    p2, cfg2 = load_checkpoint(str(out))
+    assert cfg2 == cfg

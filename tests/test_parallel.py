@@ -102,3 +102,12 @@ def test_check_devices():
 
     report = check_devices(make_mesh(MeshConfig(data=8, model=1)))
     assert report == {"devices": 8, "ok": True}
+
+
+def test_scaling_harness_measure():
+    from whisper_trtllm_tpu.benchmarks.scaling import measure
+
+    row = measure("tiny_en", n_devices=2, per_device_batch=1,
+                  model_parallel=1, gen_tokens=2, iters=1)
+    assert row["devices"] == 2 and row["batch"] == 2
+    assert row["audio_s_per_s"] > 0
