@@ -40,7 +40,7 @@ def build_handler(server_state):
             if self.path == "/healthz":
                 self._reply(200, {
                     "status": "ok",
-                    "pending": int(server_state["server"].slots.pending),
+                    "pending": int(server_state["server"].pending),
                 })
             else:
                 self._reply(404, {"error": "not found"})
@@ -100,6 +100,9 @@ def main():
     ap.add_argument("--max-new-tokens", type=int, default=224)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--hf-model", default=None, help="tokenizer for text output")
+    ap.add_argument("--backend", default="slots", choices=["slots", "ifb"],
+                    help="slots: utterance-level batch lanes; ifb: token-level "
+                         "in-flight batching (continuous)")
     args = ap.parse_args()
 
     from whisper_trtllm_tpu.config import GenerationConfig, RuntimeConfig
@@ -113,7 +116,16 @@ def main():
         GenerationConfig(max_new_tokens=args.max_new_tokens),
         RuntimeConfig(compute_dtype=args.dtype),
     )
-    server = TranscriptionServer(sess, num_slots=args.num_slots)
+    if args.backend == "ifb":
+        from whisper_trtllm_tpu.runtime.server import IfbTranscriptionServer
+
+        server = IfbTranscriptionServer(
+            params, cfg,
+            GenerationConfig(max_new_tokens=args.max_new_tokens),
+            num_slots=args.num_slots,
+        )
+    else:
+        server = TranscriptionServer(sess, num_slots=args.num_slots)
     state = {"server": server, "specials": {
         cfg.eos_token_id, cfg.pad_token_id, cfg.decoder_start_token_id,
         *[t for _, t in cfg.forced_decoder_ids],

@@ -62,3 +62,34 @@ def test_ifb_incremental_submission(setup, rng):
         out = batcher.fetch(rid)
         expect = ref_tokens[i, : ref_lens[i]]
         np.testing.assert_array_equal(out[: len(expect)], expect)
+
+
+def test_ifb_server_backend(setup, rng):
+    """The IFB-backed serving loop produces the same results via the
+    submit/step/fetch surface."""
+    from whisper_trtllm_tpu.runtime.server import IfbTranscriptionServer
+
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=8)
+    mels = rng.standard_normal(
+        (3, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    ref_tokens, ref_lens = transcribe_tokens(params, cfg, jnp.asarray(mels), gen)
+    ref_tokens, ref_lens = np.asarray(ref_tokens), np.asarray(ref_lens)
+
+    srv = IfbTranscriptionServer(params, cfg, gen, num_slots=2, segment_steps=4)
+    rids = [srv.batcher.submit(mels[i]) for i in range(3)]  # mel directly
+    got = {}
+    for _ in range(50):
+        for r in rids:
+            if r not in got:
+                out = srv.fetch(r)   # fetch pops: keep what we get
+                if out is not None:
+                    got[r] = out
+        if len(got) == len(rids):
+            break
+        srv.step()
+    for i, rid in enumerate(rids):
+        assert rid in got
+        expect = ref_tokens[i, : ref_lens[i]]
+        np.testing.assert_array_equal(np.asarray(got[rid])[: len(expect)], expect)

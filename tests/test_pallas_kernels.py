@@ -66,3 +66,27 @@ def test_layer_norm_fused_matches_xla(rng):
                          interpret=True)
     )
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_stft_kernel_matches_jnp(rng):
+    """Pallas fused STFT+mel+log vs the jnp block-matmul formulation."""
+    from whisper_trtllm_tpu.audio.features import LogMelSpectrogram, HOP_LENGTH, N_FREQ_BINS
+    from whisper_trtllm_tpu.ops.pallas.stft import stft_log_mel
+
+    fe = LogMelSpectrogram(80)
+    n_rows = 300 + 2                         # 300 frames (short test signal)
+    audio_blocks = rng.standard_normal(
+        (2, n_rows, HOP_LENGTH)).astype(np.float32) * 0.1
+
+    # jnp reference: same math as features.py up to the log
+    frames = np.concatenate(
+        [audio_blocks[:, :-2], audio_blocks[:, 1:-1], audio_blocks[:, 2:]],
+        axis=-1)
+    spec = np.einsum("btn,nf->btf", frames, np.asarray(fe.dft_basis))
+    power = spec[..., :N_FREQ_BINS] ** 2 + spec[..., N_FREQ_BINS:] ** 2
+    ref = np.log10(np.maximum(power @ np.asarray(fe.mel_fb), 1e-10))
+
+    out = np.asarray(stft_log_mel(
+        jnp.asarray(audio_blocks), fe.dft_basis, fe.mel_fb, interpret=True))
+    assert out.shape == (2, 300, 80)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)

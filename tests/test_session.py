@@ -83,3 +83,18 @@ def test_orbax_sharded_roundtrip(tmp_path, cfg, params):
     for a, b in zip(jax.tree_util.tree_leaves(sharded),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_weight_session(cfg, params, rng):
+    from whisper_trtllm_tpu.config import RuntimeConfig
+
+    sess = WhisperSession(
+        params, cfg, GenerationConfig(max_new_tokens=6),
+        RuntimeConfig(compute_dtype="bfloat16", weight_dtype="int8"),
+    )
+    assert sess.params["decoder"]["layers"]["fc1"]["kernel_q"].dtype == "int8"
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens, lengths = sess.transcribe_features(mel)
+    assert (tokens[:, 0] == cfg.decoder_start_token_id).all()

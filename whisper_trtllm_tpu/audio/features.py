@@ -99,17 +99,32 @@ class LogMelSpectrogram:
         total = (n_frames_full + 2) * HOP_LENGTH
         padded = jnp.pad(padded, ((0, 0), (0, total - padded.shape[1])))
         blocks = padded.reshape(b, n_frames_full + 2, HOP_LENGTH)
-        frames = jnp.concatenate(
-            [blocks[:, :-2], blocks[:, 1:-1], blocks[:, 2:]], axis=-1
-        )                                                         # (B, 3001, 480)
-        spec = jnp.einsum(
-            "btn,nf->btf", frames, self.dft_basis, precision=_HIGHEST
-        )                                                         # (B, 3001, 402)
-        real = spec[..., :N_FREQ_BINS]
-        imag = spec[..., N_FREQ_BINS:]
-        power = real * real + imag * imag                         # (B, 3001, 201)
-        melspec = jnp.einsum("btf,fm->btm", power, self.mel_fb, precision=_HIGHEST)
-        log_spec = jnp.log10(jnp.maximum(melspec, 1e-10))
+
+        import os
+
+        from whisper_trtllm_tpu.ops.pallas import pallas_enabled
+
+        if os.environ.get("WHISPER_TPU_PALLAS_STFT") == "1" and pallas_enabled():
+            # fused Pallas kernel: DMA + DFT + power + mel + log per frame
+            # block; the power spectrogram never touches HBM. Opt-in: the
+            # jnp block-matmul path below is already MXU-bound and fast.
+            from whisper_trtllm_tpu.ops.pallas.stft import stft_log_mel
+
+            log_spec = stft_log_mel(blocks, self.dft_basis, self.mel_fb)
+        else:
+            frames = jnp.concatenate(
+                [blocks[:, :-2], blocks[:, 1:-1], blocks[:, 2:]], axis=-1
+            )                                                     # (B, 3001, 480)
+            spec = jnp.einsum(
+                "btn,nf->btf", frames, self.dft_basis, precision=_HIGHEST
+            )                                                     # (B, 3001, 402)
+            real = spec[..., :N_FREQ_BINS]
+            imag = spec[..., N_FREQ_BINS:]
+            power = real * real + imag * imag                     # (B, 3001, 201)
+            melspec = jnp.einsum(
+                "btf,fm->btm", power, self.mel_fb, precision=_HIGHEST
+            )
+            log_spec = jnp.log10(jnp.maximum(melspec, 1e-10))
         log_spec = log_spec[:, :-1, :]                            # (B, 3000, M)
         gmax = jnp.max(log_spec.reshape(b, -1), axis=-1)          # per-utterance max
         log_spec = jnp.maximum(log_spec, gmax[:, None, None] - 8.0)

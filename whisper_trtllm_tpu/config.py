@@ -224,6 +224,10 @@ class RuntimeConfig:
     tensorrt_llm/builder.py:70-142)."""
 
     compute_dtype: str = "float32"     # "float32" | "bfloat16"
+    # "native" keeps checkpoint precision; "int8" applies per-channel
+    # weight-only quantization to all dense projections at session load
+    # (quantization.weight_only_quantize)
+    weight_dtype: str = "native"
     # fp32 QK^T + softmax even under bf16 compute — mirrors the reference's
     # forced-fp32 attention core (reference:
     # tensorrt_llm/models/whisper/model.py:292-295)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from whisper_trtllm_tpu.audio.features import N_SAMPLES, SAMPLE_RATE
@@ -66,3 +67,64 @@ def transcribe_long(
             ids = np.asarray([t for t in ids if int(t) not in forced], np.int32)
             outs.append(ids)
     return outs, n
+
+
+def transcribe_long_conditioned(
+    session: WhisperSession,
+    audio: np.ndarray,
+    prev_sot_token_id: int,
+    prev_context_tokens: int = 16,
+    overlap_seconds: float = 0.0,
+) -> Tuple[List[np.ndarray], int]:
+    """Long-form with previous-text conditioning: each chunk's decoder is
+    seeded with [<|startofprev|>, last N text tokens of the previous chunk,
+    <|startoftranscript|>, forced ids] (HF condition_on_prev_tokens
+    semantics). Chunks run sequentially (chunk i+1's prompt needs chunk i's
+    text); the prompt window is a fixed N so one compiled shape serves every
+    conditioned chunk."""
+    cfg = session.cfg
+    chunks = chunk_audio(audio, overlap_seconds=overlap_seconds)
+    mels = np.asarray(session.frontend.jit()(jnp.asarray(chunks)))
+    return _conditioned_over_features(
+        session, mels, prev_sot_token_id, prev_context_tokens
+    )
+
+
+def _conditioned_over_features(session, mels, prev_sot_token_id,
+                               prev_context_tokens):
+    import jax.numpy as _jnp
+
+    from whisper_trtllm_tpu.models.whisper import model as _wmodel
+    from whisper_trtllm_tpu.runtime.generation import (
+        greedy_decode_prompted, transcribe_tokens,
+    )
+
+    cfg, gen = session.cfg, session.generation
+    forced = [cfg.decoder_start_token_id] + [
+        t for _, t in sorted(cfg.forced_decoder_ids)
+    ]
+    specials = {cfg.eos_token_id, cfg.pad_token_id,
+                cfg.decoder_start_token_id, prev_sot_token_id,
+                *[t for _, t in cfg.forced_decoder_ids]}
+    outs = []
+    prev_text: List[int] = []
+    for i in range(len(mels)):
+        mel = _jnp.asarray(mels[i : i + 1], session._dtype)
+        if len(prev_text) >= prev_context_tokens:
+            ctx = prev_text[-prev_context_tokens:]
+            prompt = np.asarray([[prev_sot_token_id, *ctx, *forced]], np.int32)
+            enc = _wmodel.encode(session.params, cfg, mel)
+            tokens, lengths = greedy_decode_prompted(
+                session.params, cfg, enc, prompt, gen
+            )
+            start = prompt.shape[1]
+        else:
+            tokens, lengths = transcribe_tokens(session.params, cfg, mel, gen)
+            start = 1
+        toks = np.asarray(tokens)[0, : int(np.asarray(lengths)[0])]
+        text_ids = np.asarray(
+            [t for t in toks[start:] if int(t) not in specials], np.int32
+        )
+        outs.append(text_ids)
+        prev_text = [int(t) for t in text_ids]
+    return outs, len(mels)

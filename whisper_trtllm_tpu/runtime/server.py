@@ -48,3 +48,51 @@ class TranscriptionServer:
         for _ in range(max_rounds):
             if self.step() == 0 and self.slots.pending == 0:
                 return
+
+    @property
+    def pending(self) -> int:
+        return int(self.slots.pending)
+
+
+class IfbTranscriptionServer:
+    """Serving loop over the token-level InflightBatcher: a finished lane is
+    refilled mid-decode without waiting for its batch neighbors (true
+    continuous batching — the reference's in-flight batching protocol,
+    reference: docs/in_flight_batching.md:16-50). Same submit/step/fetch
+    surface as TranscriptionServer, so cli/serve.py can swap backends."""
+
+    def __init__(self, params, cfg, generation=None, num_slots: int = 8,
+                 segment_steps: int = 16):
+        import threading
+
+        from whisper_trtllm_tpu.runtime.ifb import InflightBatcher
+
+        self.batcher = InflightBatcher(
+            params, cfg, generation, num_lanes=num_slots,
+            segment_steps=segment_steps,
+        )
+        # the batcher's host state is not thread-safe; serialize the
+        # scheduler thread against handler submits/fetches
+        self._lock = threading.Lock()
+
+    def submit(self, audio: np.ndarray) -> int:
+        with self._lock:
+            return self.batcher.submit_audio(np.asarray(audio, np.float32))
+
+    def step(self) -> int:
+        with self._lock:
+            self.batcher._retire_and_admit()
+            active = sum(1 for r in self.batcher._lane_req if r is not None)
+            if active:
+                self.batcher.state = self.batcher._segment(
+                    self.batcher.params, self.batcher.state
+                )
+            return active
+
+    def fetch(self, request_id: int):
+        with self._lock:
+            return self.batcher.fetch(request_id)
+
+    @property
+    def pending(self) -> int:
+        return len(self.batcher._queue)

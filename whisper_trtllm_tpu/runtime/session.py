@@ -54,6 +54,10 @@ class WhisperSession:
             init_compilation_cache(self.runtime.persistent_cache_dir)
 
         dtype = jnp.dtype(self.runtime.compute_dtype)
+        if self.runtime.weight_dtype == "int8":
+            from whisper_trtllm_tpu.quantization import weight_only_quantize
+
+            params = weight_only_quantize(params)
         params = wmodel.cast_params(params, dtype)
         if mesh is not None:
             from whisper_trtllm_tpu.parallel.partition import shard_params
