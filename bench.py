@@ -61,7 +61,6 @@ def main():
     cfg = dataclasses.replace(cfg, eos_token_id=-1)
     gen = GenerationConfig(max_new_tokens=GEN_TOKENS)
 
-    params = jax.device_put(init_params(cfg, seed=0))
     params16 = jax.device_put(cast_params(init_params(cfg, seed=0), jnp.bfloat16))
     frontend = LogMelSpectrogram(cfg.num_mel_bins)
     pipeline = jax.jit(lambda p, m: transcribe_tokens(p, cfg, m, gen))
@@ -103,6 +102,7 @@ def main():
 
     audio_s_per_s = None
     if os.environ.get("WHISPER_TPU_BENCH_FP32") == "1":
+        params = jax.device_put(init_params(cfg, seed=0))
         run_pass(params, jnp.float32)
         elapsed = run_pass(params, jnp.float32)
         audio_s_per_s = total_audio_s / elapsed

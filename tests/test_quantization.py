@@ -141,3 +141,36 @@ def test_int8_kv_step_logits_close(rng):
         np.abs(np.asarray(ref_logits)).max() + 1e-9
     )
     assert rel < 0.05
+
+
+def test_int4_pack_unpack_roundtrip(rng):
+    from whisper_trtllm_tpu.quantization import (
+        quantize_kernel_int4, unpack_int4_kernel,
+    )
+
+    w = rng.standard_normal((32, 16)).astype(np.float32)
+    q4, s = quantize_kernel_int4(w)
+    assert q4.shape == (32, 8) and q4.dtype == np.int8
+    wd = np.asarray(unpack_int4_kernel(jnp.asarray(q4))) * s[None]
+    # int4 symmetric error bounded by scale/2
+    assert np.all(np.abs(wd - w) <= s[None] * 0.5 + 1e-6)
+
+
+def test_int4_dense_and_whisper(rng):
+    from whisper_trtllm_tpu.quantization import weight_only_quantize_int4
+
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    q4params = weight_only_quantize_int4(params)
+    assert q4params["decoder"]["layers"]["fc1"]["kernel_q4"].dtype == np.int8
+    mel = rng.standard_normal(
+        (1, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens = rng.integers(0, cfg.vocab_size, (1, 5)).astype(np.int32)
+    ref = np.asarray(decode_full(params, cfg, tokens,
+                                 encode(params, cfg, jnp.asarray(mel))))
+    q4p = jax.tree_util.tree_map(jnp.asarray, q4params)
+    out = np.asarray(decode_full(q4p, cfg, tokens,
+                                 encode(q4p, cfg, jnp.asarray(mel))))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.35  # int4 is coarse; bounded drift on a 2-layer model

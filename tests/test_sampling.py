@@ -143,3 +143,17 @@ def test_mish_and_group_norm_match_torch(rng):
         jnp.asarray(x), 2,
     ))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_prompt_tuning_embedding(rng):
+    from whisper_trtllm_tpu.ops.functional import prompt_tuning_embedding
+
+    table = rng.standard_normal((10, 4)).astype(np.float32)
+    ptable = rng.standard_normal((3, 4)).astype(np.float32)
+    ids = np.asarray([[1, 9, 10, 12]], np.int32)  # 10,12 → prompt slots 0,2
+    out = np.asarray(prompt_tuning_embedding(
+        jnp.asarray(table), jnp.asarray(ptable), jnp.asarray(ids)))
+    np.testing.assert_array_equal(out[0, 0], table[1])
+    np.testing.assert_array_equal(out[0, 1], table[9])
+    np.testing.assert_array_equal(out[0, 2], ptable[0])
+    np.testing.assert_array_equal(out[0, 3], ptable[2])

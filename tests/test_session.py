@@ -98,3 +98,10 @@ def test_int8_weight_session(cfg, params, rng):
     ).astype(np.float32)
     tokens, lengths = sess.transcribe_features(mel)
     assert (tokens[:, 0] == cfg.decoder_start_token_id).all()
+
+
+def test_warmup_compiles(cfg, params):
+    sess = WhisperSession(params, cfg, GenerationConfig(max_new_tokens=4))
+    sess.warmup(batch=2)  # must not raise; compiles the (2, T, M) pipeline
+    stats = sess.memory_stats()
+    assert set(stats) == {"bytes_in_use", "peak_bytes_in_use", "bytes_limit"}

@@ -1,0 +1,75 @@
+"""Utils coverage: profiler, logger, config edge cases."""
+
+import time
+
+import pytest
+
+from whisper_trtllm_tpu.config import GenerationConfig, MeshConfig, WhisperConfig
+from whisper_trtllm_tpu.utils.profiler import Timer
+
+
+def test_timer_tags_and_summary():
+    t = Timer()
+    with t.time("phase_a"):
+        time.sleep(0.01)
+    t.start("phase_b")
+    time.sleep(0.005)
+    elapsed = t.stop("phase_b")
+    assert elapsed >= 0.004
+    assert t.elapsed("phase_a") >= 0.009
+    s = t.summary()
+    assert "phase_a" in s and "phase_b" in s
+    t.reset("phase_a")
+    assert t.elapsed("phase_a") == 0.0
+    t.reset()
+    assert "phase_b" not in t.summary()
+
+
+def test_unknown_preset_raises():
+    with pytest.raises(ValueError, match="unknown Whisper preset"):
+        WhisperConfig.preset("whisper-nonexistent")
+
+
+def test_presets_resolve():
+    for name in ("tiny.en", "base.en", "small.en", "medium.en", "large-v3"):
+        cfg = WhisperConfig.preset(f"whisper-{name}")
+        assert cfg.d_model > 0
+
+
+def test_from_hf_merges_generation_config():
+    from transformers import WhisperConfig as HFConfig
+
+    hf = HFConfig(vocab_size=97, d_model=32, encoder_layers=1,
+                  decoder_layers=1, encoder_attention_heads=4,
+                  decoder_attention_heads=4, encoder_ffn_dim=64,
+                  decoder_ffn_dim=64, max_source_positions=24,
+                  max_target_positions=16, pad_token_id=2,
+                  suppress_tokens=[], begin_suppress_tokens=[])
+
+    class GC:
+        suppress_tokens = [5]
+        begin_suppress_tokens = [3]
+        forced_decoder_ids = [[1, 11]]
+        decoder_start_token_id = 1
+        eos_token_id = 2
+        pad_token_id = 2
+        bos_token_id = 1
+        no_timestamps_token_id = 40
+        max_initial_timestamp_index = 7
+
+    cfg = WhisperConfig.from_hf(hf, GC())
+    assert cfg.suppress_tokens == (5,)
+    assert cfg.forced_decoder_ids == ((1, 11),)
+    assert cfg.no_timestamps_token_id == 40
+    assert cfg.max_initial_timestamp_index == 7
+
+
+def test_mesh_config_world_size():
+    m = MeshConfig(data=2, model=4)
+    assert m.world_size == 8 and m.axis_names() == ("data", "model")
+    assert MeshConfig.from_json(m.to_json()) == m
+
+
+def test_generation_config_roundtrip():
+    g = GenerationConfig(max_new_tokens=7, num_beams=3, kv_cache_dtype="int8")
+    assert GenerationConfig.from_json(g.to_json()) == g

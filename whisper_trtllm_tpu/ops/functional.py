@@ -54,6 +54,12 @@ def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
         w = params["kernel_q"].astype(x.dtype)
         y = jnp.dot(x, w, preferred_element_type=x.dtype)
         y = y * params["scale"].astype(y.dtype)
+    elif "kernel_q4" in params:
+        from whisper_trtllm_tpu.quantization.quantize import unpack_int4_kernel
+
+        w = unpack_int4_kernel(params["kernel_q4"], x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=x.dtype)
+        y = y * params["scale"].astype(y.dtype)
     else:
         y = jnp.dot(x, params["kernel"], preferred_element_type=x.dtype)
     if "bias" in params and params["bias"] is not None:
@@ -186,3 +192,22 @@ def group_norm(
     if "bias" in params:
         y = y + params["bias"].astype(jnp.float32)
     return y.astype(dtype)
+
+
+def prompt_tuning_embedding(
+    table: jnp.ndarray,
+    prompt_table: jnp.ndarray,
+    ids: jnp.ndarray,
+    dtype=None,
+) -> jnp.ndarray:
+    """Embedding lookup with prompt-tuning slots: ids >= vocab_size index
+    into ``prompt_table`` (a learned virtual-token table) instead of the
+    vocabulary (analog of reference:
+    tensorrt_llm/layers/embedding.py:33-80 PromptTuningEmbedding)."""
+    vocab = table.shape[0]
+    is_prompt = ids >= vocab
+    tok = jnp.take(table, jnp.where(is_prompt, 0, ids), axis=0)
+    vt = jnp.take(prompt_table,
+                  jnp.clip(ids - vocab, 0, prompt_table.shape[0] - 1), axis=0)
+    out = jnp.where(is_prompt[..., None], vt, tok)
+    return out.astype(dtype) if dtype is not None else out

@@ -33,12 +33,14 @@ def _kernel(b0_ref, b1_ref, b2_ref, basis_ref, mel_ref, out_ref,
         spec += jnp.dot(
             ref[0], basis_ref[pl.ds(j * hop, hop), :],
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # fp32 DFT: log10 amplifies
         )                                                  # (FB, 2*n_bins)
     re = spec[:, :n_bins]
     im = spec[:, n_bins:]
     power = re * re + im * im                              # (FB, n_bins)
     melspec = jnp.dot(power, mel_ref[...],
-                      preferred_element_type=jnp.float32)  # (FB, M)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (FB, M)
     out_ref[0] = jnp.log(jnp.maximum(melspec, 1e-10)) * jnp.float32(
         0.43429448190325176  # 1/ln(10): log10 via ln
     )

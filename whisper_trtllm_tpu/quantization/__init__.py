@@ -3,5 +3,8 @@ from whisper_trtllm_tpu.quantization.quantize import (  # noqa: F401
     dequantize_kernel,
     quantize_dense_params,
     quantize_kernel,
+    quantize_kernel_int4,
+    unpack_int4_kernel,
     weight_only_quantize,
+    weight_only_quantize_int4,
 )

@@ -9,8 +9,8 @@ import enum
 class QuantMode(enum.IntFlag):
     NONE = 0
     INT8_WEIGHTS = enum.auto()      # weight-only int8 (per-channel scales)
-    INT4_WEIGHTS = enum.auto()      # weight-only int4 (packed)  [reserved]
-    INT8_KV_CACHE = enum.auto()     # int8 KV cache              [reserved]
+    INT4_WEIGHTS = enum.auto()      # weight-only int4 (packed nibbles)
+    INT8_KV_CACHE = enum.auto()     # int8 KV cache (per-token scales)
     FP8_QDQ = enum.auto()           # fp8 quant/dequant          [reserved]
 
     def has_int8_weights(self) -> bool:

@@ -83,3 +83,68 @@ def weight_only_quantize(params: dict, keys: Iterable[str] = _DENSE_KEYS) -> dic
         return out
 
     return walk(params)
+
+
+def quantize_kernel_int4(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(in, out) fp → (packed int4 kernel (in, out//2) int8, (out,) scales).
+    Two nibbles per byte along the output dim; symmetric per-channel scales
+    (analog of the reference's int4 weight-only path,
+    cpp/tensorrt_llm/plugins/weightOnlyQuantMatmulPlugin int4 mode)."""
+    kernel = np.asarray(kernel, np.float32)
+    assert kernel.shape[1] % 2 == 0, "output dim must be even to pack int4"
+    amax = np.maximum(np.abs(kernel).max(axis=0), 1e-8)
+    scale = (amax / 7.0).astype(np.float32)
+    q = np.clip(np.round(kernel / scale[None, :]), -8, 7).astype(np.int8)
+    low = q[:, 0::2] & 0x0F
+    high = (q[:, 1::2] & 0x0F) << 4
+    return (low | high).astype(np.int8), scale
+
+
+def unpack_int4_kernel(packed: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(in, out//2) int8 → (in, out) in ``dtype`` (unscaled nibble values).
+    Sign extension via shift-left-then-arithmetic-shift-right."""
+    p = packed.astype(jnp.int8)
+    low = jnp.right_shift(jnp.left_shift(p, 4), 4)         # sign-extended
+    high = jnp.right_shift(p, 4)                           # arithmetic shift
+    inter = jnp.stack([low, high], axis=-1)                # (..., out//2, 2)
+    return inter.reshape(p.shape[:-1] + (-1,)).astype(dtype)
+
+
+def quantize_dense_params_int4(p: dict) -> dict:
+    kernel = np.asarray(p["kernel"])
+    if kernel.ndim == 2:
+        q, s = quantize_kernel_int4(kernel)
+    elif kernel.ndim == 3:
+        qs, ss = zip(*(quantize_kernel_int4(k) for k in kernel))
+        q, s = np.stack(qs), np.stack(ss)
+    else:
+        return dict(p)
+    out = {"kernel_q4": q, "scale": s}
+    if "bias" in p:
+        out["bias"] = np.asarray(p["bias"])
+    return out
+
+
+def weight_only_quantize_int4(params: dict,
+                              keys: Iterable[str] = _DENSE_KEYS) -> dict:
+    """int4 variant of weight_only_quantize (QuantMode.INT4_WEIGHTS)."""
+    keys = frozenset(keys)
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for name, sub in tree.items():
+            if (
+                name in keys
+                and isinstance(sub, dict)
+                and "kernel" in sub
+                and np.asarray(sub["kernel"]).ndim in (2, 3)
+                and np.asarray(sub["kernel"]).shape[-1] % 2 == 0
+            ):
+                out[name] = quantize_dense_params_int4(sub)
+            else:
+                out[name] = walk(sub)
+        return out
+
+    return walk(params)
