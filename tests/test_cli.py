@@ -90,3 +90,12 @@ def test_finetune_cli(checkpoint, tmp_path, capsys, rng):
 
     p2, cfg2 = load_checkpoint(str(out))
     assert cfg2 == cfg
+
+
+def test_warm_cache_cli(checkpoint, capsys):
+    path, cfg = checkpoint
+    _run("cli.warm_cache",
+         ["--checkpoint", path, "--batch", "1", "--gen-tokens", "4",
+          "--cache-dir", "/tmp/wtpu_test_cache"])
+    out = capsys.readouterr().out
+    assert "warmed batch=1" in out
