@@ -111,3 +111,25 @@ def test_scaling_harness_measure():
                   model_parallel=1, gen_tokens=2, iters=1)
     assert row["devices"] == 2 and row["batch"] == 2
     assert row["audio_s_per_s"] > 0
+
+
+def test_fused_qkv_sharded_inference(cfg, rng):
+    from whisper_trtllm_tpu.models.whisper.model import fuse_qkv_params
+
+    gen = GenerationConfig(max_new_tokens=6)
+    params = init_params(cfg, seed=0)
+    fused = fuse_qkv_params(params)
+    ref, _ = jax.jit(lambda p, m: transcribe_tokens(p, cfg, m, gen))(
+        params,
+        mel := rng.standard_normal(
+            (4, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+        ).astype(np.float32),
+    )
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    sharded = shard_params(fused, mesh)
+    assert sharded["decoder"]["layers"]["self_attn"]["qkv"]["kernel"].sharding.spec == P(None, None, "model")
+    with mesh:
+        out, _ = jax.jit(lambda p, m: transcribe_tokens(p, cfg, m, gen))(
+            sharded, jax.device_put(mel, NamedSharding(mesh, P("data")))
+        )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -170,3 +170,29 @@ def test_decode_chunk_matches_steps(hf_pair, rng):
     # caches identical afterwards
     for a, b in zip(skv, skv2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_fused_qkv_matches_unfused(hf_pair, rng):
+    """fuse_qkv_params must be numerically identical end to end (the
+    reference's fused-QKV layout, tensorrt_llm/layers/attention.py:48)."""
+    from whisper_trtllm_tpu.models.whisper.model import fuse_qkv_params
+
+    hf, params, cfg = hf_pair
+    fused = fuse_qkv_params(params)
+    assert "qkv" in fused["decoder"]["layers"]["self_attn"]
+    mel = _mel(rng, cfg)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 6)).astype(np.int32)
+    enc_ref = encode(params, cfg, jnp.asarray(mel))
+    enc_f = encode(fused, cfg, jnp.asarray(mel))
+    np.testing.assert_allclose(np.asarray(enc_f), np.asarray(enc_ref), atol=1e-6)
+    ref = np.asarray(decode_full(params, cfg, tokens, enc_ref))
+    out = np.asarray(decode_full(fused, cfg, tokens, enc_f))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    from whisper_trtllm_tpu.runtime.generation import transcribe_tokens
+    from whisper_trtllm_tpu.config import GenerationConfig
+
+    g = GenerationConfig(max_new_tokens=8)
+    t1, _ = transcribe_tokens(params, cfg, jnp.asarray(mel), g)
+    t2, _ = transcribe_tokens(fused, cfg, jnp.asarray(mel), g)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

@@ -32,9 +32,20 @@ def attention_qkv(
     heads: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Project q (scaled by dh**-0.5, Whisper convention) from ``x`` and k/v
-    from ``kv_states`` (self-attention when None). Returns (B, H, S, dh)."""
+    from ``kv_states`` (self-attention when None). Returns (B, H, S, dh).
+
+    Trees transformed by ``models.whisper.fuse_qkv_params`` carry a single
+    ``qkv`` projection (the reference's fused-QKV optimization,
+    reference: tensorrt_llm/layers/attention.py:48 + the zero-filled k-bias
+    trick of examples/whisper/build_encoder.py:79-86) — one matmul instead
+    of three in the self-attention case."""
     d = x.shape[-1]
     scale = (d // heads) ** -0.5
+    if "qkv" in params and kv_states is None:
+        fused = dense(params["qkv"], x)                     # (B, S, 3d)
+        q, k, v = jnp.split(fused, 3, axis=-1)
+        return split_heads(q * scale, heads), split_heads(k, heads), \
+            split_heads(v, heads)
     kv = x if kv_states is None else kv_states
     q = split_heads(dense(params["q"], x) * scale, heads)
     k = split_heads(dense(params["k"], kv), heads)

@@ -508,3 +508,31 @@ def decode_chunk(
         preferred_element_type=jnp.float32,
     )
     return logits, new_self
+
+
+def fuse_qkv_params(params: dict) -> dict:
+    """Fuse each self-attention's q/k/v projections into one (d, 3d) matmul
+    (the reference's fused-QKV layout, reference:
+    tensorrt_llm/layers/attention.py:48, with the zero k-bias of
+    examples/whisper/build_encoder.py:79-86). Numerically identical;
+    ~25% fewer matmul dispatches per decode step. Cross-attention stays
+    split (its K/V are precomputed once at encode time)."""
+    import copy
+
+    def fuse(attn: dict) -> dict:
+        q, k, v = attn["q"], attn["k"], attn["v"]
+        kernel = np.concatenate(
+            [np.asarray(q["kernel"]), np.asarray(k["kernel"]),
+             np.asarray(v["kernel"])], axis=-1)
+        d_out = np.asarray(q["kernel"]).shape[-1]
+        zeros_k = np.zeros_like(np.asarray(q.get("bias", np.zeros(d_out))))
+        bias = np.concatenate(
+            [np.asarray(q.get("bias", zeros_k)), zeros_k,
+             np.asarray(v.get("bias", zeros_k))], axis=-1)
+        return {"qkv": {"kernel": kernel, "bias": bias}, "out": attn["out"]}
+
+    out = copy.deepcopy(params)
+    for side in ("encoder", "decoder"):
+        layers = out[side]["layers"]
+        layers["self_attn"] = fuse(layers["self_attn"])
+    return out

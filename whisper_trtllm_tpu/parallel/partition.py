@@ -20,10 +20,12 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _attn_spec() -> dict:
+def _attn_spec(fused: bool = False) -> dict:
     col = {"kernel": P(None, None, "model"), "bias": P(None, "model")}
     col_nobias = {"kernel": P(None, None, "model")}
     row = {"kernel": P(None, "model", None), "bias": P(None)}
+    if fused:
+        return {"qkv": dict(col), "out": row}
     return {"q": dict(col), "k": col_nobias, "v": dict(col), "out": row}
 
 
@@ -31,9 +33,9 @@ def _ln_spec() -> dict:
     return {"scale": P(None, None), "bias": P(None, None)}
 
 
-def _layer_specs(has_cross: bool) -> dict:
+def _layer_specs(has_cross: bool, fused: bool = False) -> dict:
     spec = {
-        "self_attn": _attn_spec(),
+        "self_attn": _attn_spec(fused),
         "self_attn_layer_norm": _ln_spec(),
         "fc1": {"kernel": P(None, None, "model"), "bias": P(None, "model")},
         "fc2": {"kernel": P(None, "model", None), "bias": P(None)},
@@ -45,20 +47,21 @@ def _layer_specs(has_cross: bool) -> dict:
     return spec
 
 
-def param_partition_specs() -> dict:
-    """PartitionSpec tree matching models.whisper.init_params' structure."""
+def param_partition_specs(fused_qkv: bool = False) -> dict:
+    """PartitionSpec tree matching models.whisper.init_params' structure
+    (``fused_qkv=True`` for trees transformed by fuse_qkv_params)."""
     return {
         "encoder": {
             "conv1": {"kernel": P(), "bias": P()},
             "conv2": {"kernel": P(), "bias": P()},
             "embed_positions": P(),
-            "layers": _layer_specs(has_cross=False),
+            "layers": _layer_specs(has_cross=False, fused=fused_qkv),
             "layer_norm": {"scale": P(), "bias": P()},
         },
         "decoder": {
             "embed_tokens": P(),       # replicated: vocab head needs full table
             "embed_positions": P(),
-            "layers": _layer_specs(has_cross=True),
+            "layers": _layer_specs(has_cross=True, fused=fused_qkv),
             "layer_norm": {"scale": P(), "bias": P()},
         },
     }
@@ -68,7 +71,10 @@ def shard_params(params: dict, mesh: Mesh, specs: Optional[dict] = None) -> dict
     """device_put the tree with NamedShardings (the 'engine load' step of a
     TP deployment — replaces per-rank engine files, reference:
     examples/gpt/build.py:24-25)."""
-    specs = specs or param_partition_specs()
+    if specs is None:
+        fused = "qkv" in params.get("decoder", {}).get("layers", {}).get(
+            "self_attn", {})
+        specs = param_partition_specs(fused_qkv=fused)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,
