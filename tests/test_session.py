@@ -105,3 +105,19 @@ def test_warmup_compiles(cfg, params):
     sess.warmup(batch=2)  # must not raise; compiles the (2, T, M) pipeline
     stats = sess.memory_stats()
     assert set(stats) == {"bytes_in_use", "peak_bytes_in_use", "bytes_limit"}
+
+
+def test_fused_session_matches_default(cfg, params, rng):
+    from whisper_trtllm_tpu.config import RuntimeConfig
+
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    ref, _ = WhisperSession(
+        params, cfg, GenerationConfig(max_new_tokens=6)
+    ).transcribe_features(mel)
+    out, _ = WhisperSession(
+        params, cfg, GenerationConfig(max_new_tokens=6),
+        RuntimeConfig(fuse_qkv=True),
+    ).transcribe_features(mel)
+    np.testing.assert_array_equal(out, ref)

@@ -54,6 +54,10 @@ class WhisperSession:
             init_compilation_cache(self.runtime.persistent_cache_dir)
 
         dtype = jnp.dtype(self.runtime.compute_dtype)
+        if self.runtime.fuse_qkv:
+            from whisper_trtllm_tpu.models.whisper.model import fuse_qkv_params
+
+            params = fuse_qkv_params(params)
         if self.runtime.weight_dtype == "int8":
             from whisper_trtllm_tpu.quantization import weight_only_quantize
 
@@ -117,9 +121,18 @@ class WhisperSession:
 
     def refit(self, params: dict) -> None:
         """Hot-swap weights without recompiling (analog of TRT engine refit,
-        reference: tensorrt_llm/builder.py:162-201): the new tree is cast +
-        placed with the same shardings; compiled executables are reused since
-        shapes/dtypes are unchanged."""
+        reference: tensorrt_llm/builder.py:162-201): the new tree goes through
+        the same load-time transforms (fusion/quantization/cast) so its
+        structure matches the compiled executables, then replaces the old
+        weights in place."""
+        if self.runtime.fuse_qkv:
+            from whisper_trtllm_tpu.models.whisper.model import fuse_qkv_params
+
+            params = fuse_qkv_params(params)
+        if self.runtime.weight_dtype == "int8":
+            from whisper_trtllm_tpu.quantization import weight_only_quantize
+
+            params = weight_only_quantize(params)
         params = wmodel.cast_params(params, self._dtype)
         if self.mesh is not None:
             from whisper_trtllm_tpu.parallel.partition import shard_params
