@@ -133,3 +133,25 @@ def test_fused_qkv_sharded_inference(cfg, rng):
             sharded, jax.device_put(mel, NamedSharding(mesh, P("data")))
         )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sharded_quantized_session(cfg, rng):
+    """TP + int8 weights must load and run (specs adapt to kernel_q/scale)."""
+    from whisper_trtllm_tpu.config import GenerationConfig, RuntimeConfig
+    from whisper_trtllm_tpu.runtime import WhisperSession
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    params = init_params(cfg, seed=0)
+    sess = WhisperSession(
+        params, cfg, GenerationConfig(max_new_tokens=4),
+        RuntimeConfig(weight_dtype="int8"), mesh=mesh,
+    )
+    qk = sess.params["decoder"]["layers"]["fc1"]["kernel_q"]
+    assert qk.sharding.spec == P(None, None, "model")
+    sc = sess.params["decoder"]["layers"]["fc1"]["scale"]
+    assert sc.sharding.spec == P(None, "model")
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens, _ = sess.transcribe_features(mel)
+    assert tokens.shape[0] == 2

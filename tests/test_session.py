@@ -121,3 +121,46 @@ def test_fused_session_matches_default(cfg, params, rng):
         RuntimeConfig(fuse_qkv=True),
     ).transcribe_features(mel)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_refit_with_transforms(cfg, params, rng):
+    """refit must route new weights through the same load-time transforms
+    (fusion + quantization) as __init__."""
+    from whisper_trtllm_tpu.config import RuntimeConfig
+
+    mel = rng.standard_normal(
+        (1, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    sess = WhisperSession(
+        params, cfg, GenerationConfig(max_new_tokens=4),
+        RuntimeConfig(fuse_qkv=True, weight_dtype="int8"),
+    )
+    t1, _ = sess.transcribe_features(mel)
+    sess.refit(init_params(cfg, seed=1))
+    assert "qkv" in sess.params["decoder"]["layers"]["self_attn"]
+    assert sess.params["decoder"]["layers"]["fc1"]["kernel_q"].dtype == "int8"
+    t2, _ = sess.transcribe_features(mel)
+    assert not np.array_equal(t1, t2)
+
+
+def test_int4_weight_session(cfg, params, rng):
+    from whisper_trtllm_tpu.config import RuntimeConfig
+
+    sess = WhisperSession(
+        params, cfg, GenerationConfig(max_new_tokens=4),
+        RuntimeConfig(weight_dtype="int4"),
+    )
+    assert "kernel_q4" in sess.params["decoder"]["layers"]["fc1"]
+    mel = rng.standard_normal(
+        (1, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens, _ = sess.transcribe_features(mel)
+    assert (tokens[:, 0] == cfg.decoder_start_token_id).all()
+
+
+def test_unknown_weight_dtype_raises(cfg, params):
+    from whisper_trtllm_tpu.config import RuntimeConfig
+
+    with pytest.raises(ValueError, match="unknown weight_dtype"):
+        WhisperSession(params, cfg, GenerationConfig(max_new_tokens=4),
+                       RuntimeConfig(weight_dtype="int-8"))

@@ -228,9 +228,10 @@ class RuntimeConfig:
     # weight-only quantization to all dense projections at session load
     # (quantization.weight_only_quantize)
     weight_dtype: str = "native"
-    # fuse self-attention q/k/v into one matmul at load (measured +11% decode
-    # throughput on medium.en; neutral on tiny). Off by default to keep
-    # compiled-graph caches stable across configs.
+    # fuse self-attention q/k/v into one matmul at load. Measured neutral
+    # within run-to-run noise on v5e (docs/PERFORMANCE.md); kept for parity
+    # with the reference's fused layout and for TP granularity. Off by
+    # default to keep compiled-graph caches stable across configs.
     fuse_qkv: bool = False
     # fp32 QK^T + softmax even under bf16 compute — mirrors the reference's
     # forced-fp32 attention core (reference:

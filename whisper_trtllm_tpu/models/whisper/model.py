@@ -515,9 +515,10 @@ def fuse_qkv_params(params: dict) -> dict:
     (the reference's fused-QKV layout, reference:
     tensorrt_llm/layers/attention.py:48, with the zero k-bias of
     examples/whisper/build_encoder.py:79-86). Numerically identical;
-    ~25% fewer matmul dispatches per decode step. Cross-attention stays
-    split (its K/V are precomputed once at encode time)."""
-    import copy
+    fewer matmul dispatches per decode step (measured neutral on v5e, see
+    docs/PERFORMANCE.md). Cross-attention stays split (its K/V are
+    precomputed once at encode time). Untouched subtrees are shared, not
+    copied — only the fused projections allocate."""
 
     def fuse(attn: dict) -> dict:
         q, k, v = attn["q"], attn["k"], attn["v"]
@@ -531,8 +532,11 @@ def fuse_qkv_params(params: dict) -> dict:
              np.asarray(v.get("bias", zeros_k))], axis=-1)
         return {"qkv": {"kernel": kernel, "bias": bias}, "out": attn["out"]}
 
-    out = copy.deepcopy(params)
+    out = dict(params)
     for side in ("encoder", "decoder"):
-        layers = out[side]["layers"]
+        side_tree = dict(out[side])
+        layers = dict(side_tree["layers"])
         layers["self_attn"] = fuse(layers["self_attn"])
+        side_tree["layers"] = layers
+        out[side] = side_tree
     return out

@@ -67,14 +67,46 @@ def param_partition_specs(fused_qkv: bool = False) -> dict:
     }
 
 
+def _adapt_specs_to_quantized(params, specs):
+    """Rewrite a spec subtree for weight-only-quantized dense dicts: the
+    int8/int4 ``kernel_q``/``kernel_q4`` inherits the float kernel's spec and
+    the per-output-channel ``scale`` inherits the kernel's output-dim
+    sharding (so a column-parallel projection keeps its scales local)."""
+    if not isinstance(params, dict):
+        return specs
+    if isinstance(specs, dict) and "kernel" in specs and (
+        "kernel_q" in params or "kernel_q4" in params
+    ):
+        kspec = specs["kernel"]
+        # scale shape = kernel shape minus the input dim (second-to-last)
+        parts = tuple(kspec)
+        scale_spec = P(*(parts[:-2] + parts[-1:])) if len(parts) >= 2 else P()
+        out = {
+            ("kernel_q" if "kernel_q" in params else "kernel_q4"): kspec,
+            "scale": scale_spec,
+        }
+        if "bias" in params and "bias" in specs:
+            out["bias"] = specs["bias"]
+        return out
+    if isinstance(specs, dict):
+        return {
+            k: _adapt_specs_to_quantized(params.get(k), v)
+            for k, v in specs.items()
+            if k in params
+        }
+    return specs
+
+
 def shard_params(params: dict, mesh: Mesh, specs: Optional[dict] = None) -> dict:
     """device_put the tree with NamedShardings (the 'engine load' step of a
     TP deployment — replaces per-rank engine files, reference:
-    examples/gpt/build.py:24-25)."""
+    examples/gpt/build.py:24-25). Handles fused-QKV and weight-only-quantized
+    trees (specs are adapted to kernel_q/kernel_q4 + scale leaves)."""
     if specs is None:
         fused = "qkv" in params.get("decoder", {}).get("layers", {}).get(
             "self_attn", {})
         specs = param_partition_specs(fused_qkv=fused)
+    specs = _adapt_specs_to_quantized(params, specs)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,

@@ -53,24 +53,37 @@ class WhisperSession:
 
             init_compilation_cache(self.runtime.persistent_cache_dir)
 
-        dtype = jnp.dtype(self.runtime.compute_dtype)
+        self._dtype = jnp.dtype(self.runtime.compute_dtype)
+        self.params = self._prepare_params(params)
+        self.frontend = LogMelSpectrogram(cfg.num_mel_bins, dtype=self._dtype)
+
+    def _prepare_params(self, params: dict) -> dict:
+        """The load-time transform chain — fusion → quantization → cast →
+        placement — shared by __init__ and refit so hot-swapped trees always
+        match the compiled executables' structure."""
         if self.runtime.fuse_qkv:
             from whisper_trtllm_tpu.models.whisper.model import fuse_qkv_params
 
             params = fuse_qkv_params(params)
-        if self.runtime.weight_dtype == "int8":
+        wd = self.runtime.weight_dtype
+        if wd == "int8":
             from whisper_trtllm_tpu.quantization import weight_only_quantize
 
             params = weight_only_quantize(params)
-        params = wmodel.cast_params(params, dtype)
-        if mesh is not None:
+        elif wd == "int4":
+            from whisper_trtllm_tpu.quantization import weight_only_quantize_int4
+
+            params = weight_only_quantize_int4(params)
+        elif wd != "native":
+            raise ValueError(
+                f"unknown weight_dtype {wd!r}; expected native/int8/int4"
+            )
+        params = wmodel.cast_params(params, self._dtype)
+        if self.mesh is not None:
             from whisper_trtllm_tpu.parallel.partition import shard_params
 
-            self.params = shard_params(params, mesh)
-        else:
-            self.params = jax.device_put(params)
-        self.frontend = LogMelSpectrogram(cfg.num_mel_bins, dtype=dtype)
-        self._dtype = dtype
+            return shard_params(params, self.mesh)
+        return jax.device_put(params)
 
     # -- compiled pipelines (cached per call signature) ----------------------
     @functools.cached_property
@@ -122,24 +135,9 @@ class WhisperSession:
     def refit(self, params: dict) -> None:
         """Hot-swap weights without recompiling (analog of TRT engine refit,
         reference: tensorrt_llm/builder.py:162-201): the new tree goes through
-        the same load-time transforms (fusion/quantization/cast) so its
-        structure matches the compiled executables, then replaces the old
-        weights in place."""
-        if self.runtime.fuse_qkv:
-            from whisper_trtllm_tpu.models.whisper.model import fuse_qkv_params
-
-            params = fuse_qkv_params(params)
-        if self.runtime.weight_dtype == "int8":
-            from whisper_trtllm_tpu.quantization import weight_only_quantize
-
-            params = weight_only_quantize(params)
-        params = wmodel.cast_params(params, self._dtype)
-        if self.mesh is not None:
-            from whisper_trtllm_tpu.parallel.partition import shard_params
-
-            self.params = shard_params(params, self.mesh)
-        else:
-            self.params = jax.device_put(params)
+        the same load-time transform chain (_prepare_params) so its structure
+        matches the compiled executables, then replaces the old weights."""
+        self.params = self._prepare_params(params)
 
     def memory_stats(self) -> dict:
         """Device memory usage (analog of benchmarks/mem_monitor.py)."""
