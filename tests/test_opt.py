@@ -1,0 +1,55 @@
+"""OPT zoo model parity vs HF (learned +2-offset positions, ReLU MLP)
+(analog of reference: tensorrt_llm/models/opt)."""
+
+import jax
+import numpy as np
+import pytest
+
+from whisper_trtllm_tpu.models.opt import convert_hf_opt, forward
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import OPTConfig as HFConfig
+    from transformers import OPTForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=89, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, ffn_dim=64, max_position_embeddings=32,
+        do_layer_norm_before=True, word_embed_proj_dim=32,
+        eos_token_id=2, bos_token_id=1, pad_token_id=0, dropout=0.0,
+    )
+    hf = OPTForCausalLM(hf_cfg).eval()
+    params, cfg = convert_hf_opt(hf)
+    return hf, params, cfg
+
+
+def test_forward_parity(hf_pair, rng):
+    import torch
+
+    hf, params, cfg = hf_pair
+    tokens = rng.integers(0, cfg.vocab_size, (2, 9)).astype(np.int32)
+    ours = np.asarray(jax.jit(lambda p, t: forward(p, cfg, t))(params, tokens))
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(tokens.astype(np.int64))).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_greedy_continuation_matches_hf(hf_pair, rng):
+    import torch
+
+    hf, params, cfg = hf_pair
+    tokens = rng.integers(3, cfg.vocab_size, (1, 4)).astype(np.int32)
+    with torch.no_grad():
+        theirs = hf.generate(
+            torch.from_numpy(tokens.astype(np.int64)),
+            max_new_tokens=6, do_sample=False, pad_token_id=cfg.eos_token_id,
+        ).numpy()
+    seq = tokens
+    for _ in range(6):
+        logits = np.asarray(forward(params, cfg, seq))
+        nxt = logits[:, -1].argmax(-1).astype(np.int32)
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(seq, theirs[:, : seq.shape[1]])

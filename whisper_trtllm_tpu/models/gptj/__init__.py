@@ -1,0 +1,6 @@
+from whisper_trtllm_tpu.models.gptj.model import (  # noqa: F401
+    GPTJConfig,
+    convert_hf_gptj,
+    forward,
+    init_params,
+)

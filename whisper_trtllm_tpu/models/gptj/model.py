@@ -1,0 +1,167 @@
+"""GPT-J decoder-only model (zoo breadth).
+
+Analog of the reference's GPT-J family (reference:
+tensorrt_llm/models/gptj/model.py): partial rotary embeddings in GPT-J's
+interleaved ("rotate every two") convention over the first ``rotary_dim``
+dims, a *parallel* residual block — attention and MLP both read the same
+``ln_1`` output and add into the residual together — bias-free attention
+projections, and an untied ``lm_head`` with bias. Same scanned-layer
+machinery as the other zoo models; converts from HF GPTJForCausalLM for
+parity tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_trtllm_tpu.layers.init import init_dense, init_embedding, init_layer_norm
+from whisper_trtllm_tpu.ops.attention import mha
+from whisper_trtllm_tpu.ops.functional import ACT2FN, dense, embedding, layer_norm
+
+
+@dataclass(frozen=True)
+class GPTJConfig:
+    vocab_size: int = 50400
+    max_positions: int = 2048
+    d_model: int = 4096
+    n_layer: int = 28
+    n_head: int = 16
+    rotary_dim: int = 64
+    ffn_dim: int = 16384
+    activation: str = "gelu_new"
+    eos_token_id: int = 50256
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_head
+
+    @classmethod
+    def testing(cls, **overrides) -> "GPTJConfig":
+        kw = dict(vocab_size=89, max_positions=32, d_model=32, n_layer=2,
+                  n_head=4, rotary_dim=4, ffn_dim=64, eos_token_id=2)
+        kw.update(overrides)
+        return cls(**kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def rope_interleaved_sin_cos(rotary_dim: int, positions: jnp.ndarray):
+    """positions (S,) → sin/cos (S, rotary_dim), each angle repeated twice
+    (GPT-J convention; the neox_rotary_style=False path of the reference's
+    gptAttentionPlugin, reference: tensorrt_llm/models/gptj/model.py:33)."""
+    inv_freq = 1.0 / (
+        10000.0 ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
+    )
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq  # (S, rd/2)
+    angles = jnp.repeat(angles, 2, axis=-1)                     # (S, rd)
+    return jnp.sin(angles), jnp.cos(angles)
+
+
+def apply_rope_interleaved(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray,
+                           rotary_dim: int):
+    """x: (B, H, S, dh); rotate the first rotary_dim dims in pairs
+    (x[2i], x[2i+1]), pass the tail through unchanged."""
+    rot, tail = x[..., :rotary_dim], x[..., rotary_dim:]
+    x1, x2 = rot[..., 0::2], rot[..., 1::2]
+    rotated = jnp.stack([-x2, x1], axis=-1).reshape(rot.shape)
+    rot = rot * cos[None, None] + rotated * sin[None, None]
+    return jnp.concatenate([rot.astype(x.dtype), tail], axis=-1)
+
+
+def _init_layer(rng, cfg: GPTJConfig) -> dict:
+    d = cfg.d_model
+    return {
+        "ln_1": init_layer_norm(d),
+        "q": init_dense(rng, d, d, bias=False),
+        "k": init_dense(rng, d, d, bias=False),
+        "v": init_dense(rng, d, d, bias=False),
+        "attn_out": init_dense(rng, d, d, bias=False),
+        "fc_in": init_dense(rng, d, cfg.ffn_dim),
+        "fc_out": init_dense(rng, cfg.ffn_dim, d),
+    }
+
+
+def init_params(cfg: GPTJConfig, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    layers = [_init_layer(rng, cfg) for _ in range(cfg.n_layer)]
+    return {
+        "wte": init_embedding(rng, cfg.vocab_size, cfg.d_model),
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *layers),
+        "ln_f": init_layer_norm(cfg.d_model),
+        "lm_head": init_dense(rng, cfg.d_model, cfg.vocab_size),
+    }
+
+
+def forward(params: dict, cfg: GPTJConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Teacher-forced: tokens (B, S) → logits (B, S, V) fp32."""
+    b, s = tokens.shape
+    dh = cfg.head_dim
+    x = embedding(params["wte"], tokens)
+    sin, cos = rope_interleaved_sin_cos(cfg.rotary_dim, jnp.arange(s))
+
+    def heads(t):
+        return t.reshape(b, s, cfg.n_head, dh).transpose(0, 2, 1, 3)
+
+    def body(x, lp):
+        h = layer_norm(lp["ln_1"], x)
+        q = apply_rope_interleaved(heads(dense(lp["q"], h)), sin, cos,
+                                   cfg.rotary_dim)
+        k = apply_rope_interleaved(heads(dense(lp["k"], h)), sin, cos,
+                                   cfg.rotary_dim)
+        a = mha(q * dh ** -0.5, k, heads(dense(lp["v"], h)), causal=True)
+        a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
+        ffn = dense(lp["fc_out"], ACT2FN[cfg.activation](dense(lp["fc_in"], h)))
+        return x + dense(lp["attn_out"], a) + ffn, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = layer_norm(params["ln_f"], x)
+    return dense(params["lm_head"], x).astype(jnp.float32)
+
+
+def convert_hf_gptj(hf_model) -> Tuple[dict, GPTJConfig]:
+    """transformers GPTJForCausalLM → (params, config)."""
+    hc = hf_model.config
+    cfg = GPTJConfig(
+        vocab_size=hc.vocab_size, max_positions=hc.n_positions,
+        d_model=hc.n_embd, n_layer=hc.n_layer, n_head=hc.n_head,
+        rotary_dim=hc.rotary_dim, ffn_dim=hc.n_inner or 4 * hc.n_embd,
+        activation=hc.activation_function, eos_token_id=hc.eos_token_id,
+    )
+    sd = {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
+
+    def ln(p):
+        return {"scale": sd[p + ".weight"], "bias": sd[p + ".bias"]}
+
+    def lin(p, bias=True):
+        out = {"kernel": np.ascontiguousarray(sd[p + ".weight"].T)}
+        if bias:
+            out["bias"] = sd[p + ".bias"]
+        return out
+
+    layers = []
+    for i in range(cfg.n_layer):
+        p = f"transformer.h.{i}"
+        layers.append({
+            "ln_1": ln(p + ".ln_1"),
+            "q": lin(p + ".attn.q_proj", bias=False),
+            "k": lin(p + ".attn.k_proj", bias=False),
+            "v": lin(p + ".attn.v_proj", bias=False),
+            "attn_out": lin(p + ".attn.out_proj", bias=False),
+            "fc_in": lin(p + ".mlp.fc_in"),
+            "fc_out": lin(p + ".mlp.fc_out"),
+        })
+    params = {
+        "wte": sd["transformer.wte.weight"],
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *layers),
+        "ln_f": ln("transformer.ln_f"),
+        "lm_head": lin("lm_head"),
+    }
+    return params, cfg

@@ -1,0 +1,148 @@
+"""OPT-family decoder-only model (zoo breadth).
+
+Analog of the reference's OPT family (reference:
+tensorrt_llm/models/opt/model.py): learned positional embeddings with OPT's
++2 offset, ReLU MLP, pre-LN ("do_layer_norm_before") blocks with a final LN,
+tied vocab head. Same scanned-layer machinery as the other zoo models;
+converts from HF OPTForCausalLM for parity tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_trtllm_tpu.layers.init import init_dense, init_embedding, init_layer_norm
+from whisper_trtllm_tpu.ops.attention import mha
+from whisper_trtllm_tpu.ops.functional import ACT2FN, dense, embedding, layer_norm
+
+_POS_OFFSET = 2  # OPT reserves the first two positional rows
+
+
+@dataclass(frozen=True)
+class OPTConfig:
+    vocab_size: int = 50272
+    max_positions: int = 2048
+    d_model: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    ffn_dim: int = 3072
+    activation: str = "relu"
+    eos_token_id: int = 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_head
+
+    @classmethod
+    def testing(cls, **overrides) -> "OPTConfig":
+        kw = dict(vocab_size=89, max_positions=32, d_model=32, n_layer=2,
+                  n_head=4, ffn_dim=64, eos_token_id=2)
+        kw.update(overrides)
+        return cls(**kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def _init_layer(rng, cfg: OPTConfig) -> dict:
+    d = cfg.d_model
+    return {
+        "attn_ln": init_layer_norm(d),
+        "q": init_dense(rng, d, d),
+        "k": init_dense(rng, d, d),
+        "v": init_dense(rng, d, d),
+        "attn_out": init_dense(rng, d, d),
+        "ffn_ln": init_layer_norm(d),
+        "fc_in": init_dense(rng, d, cfg.ffn_dim),
+        "fc_out": init_dense(rng, cfg.ffn_dim, d),
+    }
+
+
+def init_params(cfg: OPTConfig, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    layers = [_init_layer(rng, cfg) for _ in range(cfg.n_layer)]
+    return {
+        "embed_tokens": init_embedding(rng, cfg.vocab_size, cfg.d_model),
+        "embed_positions": init_embedding(
+            rng, cfg.max_positions + _POS_OFFSET, cfg.d_model
+        ),
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *layers),
+        "final_ln": init_layer_norm(cfg.d_model),
+    }
+
+
+def forward(params: dict, cfg: OPTConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Teacher-forced: tokens (B, S) → logits (B, S, V) fp32."""
+    b, s = tokens.shape
+    dh = cfg.head_dim
+    x = embedding(params["embed_tokens"], tokens)
+    x = x + params["embed_positions"][_POS_OFFSET : _POS_OFFSET + s][None]
+
+    def heads(t):
+        return t.reshape(b, s, cfg.n_head, dh).transpose(0, 2, 1, 3)
+
+    def body(x, lp):
+        h = layer_norm(lp["attn_ln"], x)
+        q = heads(dense(lp["q"], h)) * dh ** -0.5
+        a = mha(q, heads(dense(lp["k"], h)), heads(dense(lp["v"], h)),
+                causal=True)
+        a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
+        x = x + dense(lp["attn_out"], a)
+        h = layer_norm(lp["ffn_ln"], x)
+        x = x + dense(lp["fc_out"], ACT2FN[cfg.activation](dense(lp["fc_in"], h)))
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = layer_norm(params["final_ln"], x)
+    return jnp.einsum(
+        "bsd,vd->bsv", x, params["embed_tokens"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def convert_hf_opt(hf_model) -> Tuple[dict, OPTConfig]:
+    """transformers OPTForCausalLM → (params, config)."""
+    hc = hf_model.config
+    cfg = OPTConfig(
+        vocab_size=hc.vocab_size, max_positions=hc.max_position_embeddings,
+        d_model=hc.hidden_size, n_layer=hc.num_hidden_layers,
+        n_head=hc.num_attention_heads, ffn_dim=hc.ffn_dim,
+        activation=hc.activation_function,
+        eos_token_id=hc.eos_token_id if hc.eos_token_id is not None else 2,
+    )
+    sd = {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
+
+    def ln(p):
+        return {"scale": sd[p + ".weight"], "bias": sd[p + ".bias"]}
+
+    def lin(p):
+        return {"kernel": np.ascontiguousarray(sd[p + ".weight"].T),
+                "bias": sd[p + ".bias"]}
+
+    layers = []
+    for i in range(cfg.n_layer):
+        p = f"model.decoder.layers.{i}"
+        layers.append({
+            "attn_ln": ln(p + ".self_attn_layer_norm"),
+            "q": lin(p + ".self_attn.q_proj"),
+            "k": lin(p + ".self_attn.k_proj"),
+            "v": lin(p + ".self_attn.v_proj"),
+            "attn_out": lin(p + ".self_attn.out_proj"),
+            "ffn_ln": ln(p + ".final_layer_norm"),
+            "fc_in": lin(p + ".fc1"),
+            "fc_out": lin(p + ".fc2"),
+        })
+    params = {
+        "embed_tokens": sd["model.decoder.embed_tokens.weight"],
+        "embed_positions": sd["model.decoder.embed_positions.weight"],
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs, 0), *layers),
+        "final_ln": ln("model.decoder.final_layer_norm"),
+    }
+    return params, cfg
