@@ -90,3 +90,24 @@ def test_stft_kernel_matches_jnp(rng):
         jnp.asarray(audio_blocks), fe.dft_basis, fe.mel_fb, interpret=True))
     assert out.shape == (2, 300, 80)
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_cross_decode_mha_matches_xla(rng):
+    from whisper_trtllm_tpu.ops.pallas.cross_attention import cross_decode_mha
+
+    b, h, t, dh = 2, 4, 24, 16
+    valid = 20
+    q = rng.standard_normal((b, h, 1, dh)).astype(np.float32) * 0.3
+    ck = rng.standard_normal((b, h, t, dh)).astype(np.float32) * 0.3
+    cv = rng.standard_normal((b, h, t, dh)).astype(np.float32)
+    ref = np.asarray(mha_decode_step(
+        jnp.asarray(q), jnp.asarray(ck), jnp.asarray(cv), jnp.int32(valid)))
+    # head-contiguous layout: (B, T, H*dh)
+    q2 = q[:, :, 0].reshape(b, h * dh)
+    k2 = ck.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+    v2 = cv.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+    out = np.asarray(cross_decode_mha(
+        jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2),
+        heads=h, head_dim=dh, valid_len=valid, interpret=True))
+    ref2 = ref[:, :, 0].reshape(b, h * dh)
+    np.testing.assert_allclose(out, ref2, atol=2e-5, rtol=1e-4)
