@@ -1,0 +1,7 @@
+from whisper_trtllm_tpu.models.chatglm6b.model import (  # noqa: F401
+    ChatGLM6BConfig,
+    build_position_ids,
+    convert_hf_chatglm6b,
+    forward,
+    init_params,
+)

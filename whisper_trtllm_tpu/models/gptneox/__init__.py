@@ -1,0 +1,6 @@
+from whisper_trtllm_tpu.models.gptneox.model import (  # noqa: F401
+    GPTNeoXConfig,
+    convert_hf_gptneox,
+    forward,
+    init_params,
+)
