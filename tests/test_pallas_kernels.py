@@ -111,3 +111,30 @@ def test_cross_decode_mha_matches_xla(rng):
         heads=h, head_dim=dh, valid_len=valid, interpret=True))
     ref2 = ref[:, :, 0].reshape(b, h * dh)
     np.testing.assert_allclose(out, ref2, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("b,h,s,t,dh", [(2, 3, 128, 128, 64), (1, 2, 150, 150, 64)])
+def test_flash_mha_grad_matches_xla(rng, b, h, s, t, dh):
+    """Custom-VJP backward kernel vs jax.grad through the jnp path — lets
+    the training step keep the fused kernel enabled (the reference trains
+    nothing; this exceeds its parity bar)."""
+    import jax
+
+    q = rng.standard_normal((b, h, s, dh)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, h, t, dh)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, h, t, dh)).astype(np.float32)
+    w = rng.standard_normal((b, h, s, dh)).astype(np.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha(q, k, v) * w)
+
+    def loss_pal(q, k, v):
+        return jnp.sum(flash_mha(q, k, v, interpret=True) * w)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=1e-4)

@@ -19,9 +19,10 @@ _disabled_depth = 0
 
 @contextlib.contextmanager
 def pallas_disabled():
-    """Force the XLA fallbacks inside this scope. Used by the training path:
-    the Pallas kernels define no VJP yet, so jax.grad must trace the plain
-    jnp formulations."""
+    """Force the XLA fallbacks inside this scope. Debug/ablation hook (the
+    analog of unsetting a PluginConfig flag). flash_mha defines a custom
+    VJP, so even jax.grad no longer requires this; the decode kernels
+    remain forward-only but sit off the training path."""
     global _disabled_depth
     _disabled_depth += 1
     try:

@@ -55,16 +55,7 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def flash_mha(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Bidirectional attention. q: (B, H, S, dh), k/v: (B, H, T, dh); q is
-    expected pre-scaled (Whisper convention) — no extra scaling applied.
-    Returns (B, H, S, dh)."""
+def _fwd_impl(q, k, v, interpret):
     b, h, s, dh = q.shape
     t = k.shape[2]
     qp = _pad_to(q, 2, BQ)
@@ -90,3 +81,121 @@ def flash_mha(
         interpret=interpret,
     )(qp, kp, vp)
     return out[:, :, :s]
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                valid_len: int, scale: float):
+    """Backward pass, one program per (batch, head, q-block). Recomputes the
+    block's exact softmax from q/k (cheaper than spilling the (S, T) score
+    matrix to HBM — the same rationale flash backward uses), emits the
+    q-block's dq, and accumulates dk/dv into fp32 output blocks revisited
+    across the q-block grid axis."""
+    n = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)        # (BQ, dh)
+    k = k_ref[0, 0].astype(jnp.float32)        # (T, dh)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)      # (BQ, dh)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                  # (BQ, T)
+    t = k.shape[0]
+    if valid_len < t:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid_len, s, jnp.float32(-1e9))
+    p = jax.nn.softmax(s, axis=-1)             # (BQ, T) fp32
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                          # (BQ, T)
+    delta = jnp.sum(p * dp, axis=1, keepdims=True)
+    ds = p * (dp - delta) * scale              # (BQ, T)
+
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    dk_c = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                          # (T, dh)
+    dv_c = jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(n == 0)
+    def _():
+        dk_ref[0, 0] = dk_c
+        dv_ref[0, 0] = dv_c
+
+    @pl.when(n > 0)
+    def _():
+        dk_ref[0, 0] += dk_c
+        dv_ref[0, 0] += dv_c
+
+
+def _bwd_impl(q, k, v, do, interpret):
+    b, h, s, dh = q.shape
+    t = k.shape[2]
+    qp = _pad_to(q, 2, BQ)
+    dop = _pad_to(do, 2, BQ)
+    kp = _pad_to(k, 2, 8)
+    vp = _pad_to(v, 2, 8)
+    sp, tp = qp.shape[2], kp.shape[2]
+
+    grid = (b, h, sp // BQ)
+    blk_q = pl.BlockSpec((1, 1, BQ, dh), lambda i, j, n: (i, j, n, 0),
+                         memory_space=pltpu.VMEM)
+    blk_kv = pl.BlockSpec((1, 1, tp, dh), lambda i, j, n: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, valid_len=t, scale=1.0),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sp, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, h, tp, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, tp, dh), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[blk_q, blk_kv, blk_kv, blk_q],
+        out_specs=[blk_q, blk_kv, blk_kv],
+        interpret=interpret,
+    )(qp, kp, vp, dop)
+    return (
+        dq[:, :, :s],
+        dk[:, :, :t].astype(k.dtype),
+        dv[:, :, :t].astype(v.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash(q, k, v, interpret):
+    return _fwd_impl(q, k, v, interpret)
+
+
+def _flash_fwd(q, k, v, interpret):
+    return _fwd_impl(q, k, v, interpret), (q, k, v)
+
+
+def _flash_bwd(interpret, res, do):
+    q, k, v = res
+    return _bwd_impl(q, k, v, do, interpret)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bidirectional attention. q: (B, H, S, dh), k/v: (B, H, T, dh); q is
+    expected pre-scaled (Whisper convention) — no extra scaling applied.
+    Returns (B, H, S, dh). Differentiable: a custom VJP runs the fused
+    backward kernel (`_bwd_kernel`), so the training path may keep the
+    kernel enabled."""
+    return _flash(q, k, v, interpret)

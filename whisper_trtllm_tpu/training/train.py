@@ -27,11 +27,11 @@ def cross_entropy_loss(
 ) -> jnp.ndarray:
     """mel (B, T, M); tokens (B, S) incl. decoder_start; loss_mask (B, S-1)
     marks the target positions that count."""
-    from whisper_trtllm_tpu.ops.pallas import pallas_disabled
-
-    with pallas_disabled():  # kernels have no VJP; grad needs the jnp path
-        enc = wmodel.encode(params, cfg, mel)
-        logits = wmodel.decode_full(params, cfg, tokens[:, :-1], enc)  # fp32
+    # The only kernel on the teacher-forced path is flash_mha (encoder
+    # self-attn + cross-attn), which defines a custom VJP — training runs
+    # straight through the fused kernel; no pallas_disabled() needed.
+    enc = wmodel.encode(params, cfg, mel)
+    logits = wmodel.decode_full(params, cfg, tokens[:, :-1], enc)  # fp32
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
