@@ -155,3 +155,37 @@ def test_sharded_quantized_session(cfg, rng):
     ).astype(np.float32)
     tokens, _ = sess.transcribe_features(mel)
     assert tokens.shape[0] == 2
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_uneven_heads_tp_matches_single_device(rng, mesh_shape):
+    """heads % tp != 0 (SURVEY §7 hard part f — medium.en has 16 heads but
+    6-head tiny-like configs don't divide 4- or 8-way): GSPMD pads the
+    sharded hidden dim; results must stay bit-identical to single device."""
+    cfg6 = WhisperConfig.testing(
+        d_model=96,
+        encoder_attention_heads=6,
+        decoder_attention_heads=6,
+        encoder_ffn_dim=192,
+        decoder_ffn_dim=192,
+        vocab_size=128,
+        forced_decoder_ids=((1, 11),),
+    )
+    gen = GenerationConfig(max_new_tokens=6)
+    params = init_params(cfg6, seed=0)
+    mel = rng.standard_normal(
+        (8, 2 * cfg6.max_source_positions, cfg6.num_mel_bins)
+    ).astype(np.float32)
+    ref_tokens, ref_lens = jax.jit(
+        lambda p, m: transcribe_tokens(p, cfg6, m, gen)
+    )(params, mel)
+
+    mesh = make_mesh(MeshConfig(*mesh_shape))
+    sharded = shard_params(params, mesh)
+    mel_sharded = jax.device_put(mel, NamedSharding(mesh, P("data")))
+    with mesh:
+        tokens, lens = jax.jit(lambda p, m: transcribe_tokens(p, cfg6, m, gen))(
+            sharded, mel_sharded
+        )
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(ref_lens))
