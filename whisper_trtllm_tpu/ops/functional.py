@@ -50,7 +50,27 @@ def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     fuses into the dot (analog of weightOnlyQuantMatmulPlugin, reference:
     cpp/tensorrt_llm/plugins/weightOnlyQuantMatmulPlugin/).
     """
-    if "kernel_q" in params:
+    if "kernel_sq" in params:
+        # SmoothQuant: activations smoothed per input channel, then int8
+        # per-token dynamic quant; int8 x int8 dot with int32 accumulation
+        # runs on the MXU at double int8 throughput (analog of
+        # smoothQuantGemmPlugin + per-token quantize kernels, reference:
+        # cpp/tensorrt_llm/plugins/smoothQuantGemmPlugin/,
+        # tensorrt_llm/quantization/functional.py quantize_per_token).
+        xs = x * params["smooth"].astype(x.dtype)
+        amax = jnp.max(jnp.abs(xs), axis=-1, keepdims=True)
+        act_scale = jnp.maximum(amax.astype(jnp.float32), 1e-8) / 127.0
+        xq = jnp.clip(
+            jnp.round(xs.astype(jnp.float32) / act_scale), -127, 127
+        ).astype(jnp.int8)
+        yi = jax.lax.dot_general(
+            xq, params["kernel_sq"],
+            dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (yi.astype(jnp.float32) * act_scale
+             * params["scale"].astype(jnp.float32)).astype(x.dtype)
+    elif "kernel_q" in params:
         w = params["kernel_q"].astype(x.dtype)
         y = jnp.dot(x, w, preferred_element_type=x.dtype)
         y = y * params["scale"].astype(y.dtype)
@@ -211,3 +231,40 @@ def prompt_tuning_embedding(
                   jnp.clip(ids - vocab, 0, prompt_table.shape[0] - 1), axis=0)
     out = jnp.where(is_prompt[..., None], vt, tok)
     return out.astype(dtype) if dtype is not None else out
+
+
+def conv2d(
+    params: dict, x: jnp.ndarray, stride: int = 1, padding: int = 0
+) -> jnp.ndarray:
+    """2-D convolution over channels-last input (B, H, W, C_in) with kernel
+    (KH, KW, C_in, C_out) — the TPU-native layout (channels ride the
+    128-lane dim; analog of reference: tensorrt_llm/functional.py:2203
+    conv2d, which is NCHW for TRT). Used by the UNet family."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["kernel"],
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    if "bias" in params and params["bias"] is not None:
+        y = y + params["bias"].astype(y.dtype)
+    return y
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x spatial upsampling of (B, H, W, C) (analog of
+    reference: tensorrt_llm/functional.py interpolate(scale_factor=2,
+    mode='nearest'), used by the UNet Upsample2D)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 average pool of (B, H, W, C) (analog of reference:
+    tensorrt_llm/functional.py:2169 avg_pool2d)."""
+    s = jax.lax.reduce_window(
+        x, jnp.zeros((), x.dtype), jax.lax.add,
+        (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+    return s / 4.0
