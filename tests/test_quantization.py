@@ -174,3 +174,79 @@ def test_int4_dense_and_whisper(rng):
                                  encode(q4p, cfg, jnp.asarray(mel))))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.35  # int4 is coarse; bounded drift on a 2-layer model
+
+
+class TestSmoothQuant:
+    """SmoothQuant int8 act+weight path (analog of reference:
+    tensorrt_llm/quantization/layer.py SmoothQuant*, models/quantized/
+    quant.py:8 — GPT-only there, Whisper here)."""
+
+    def _setup(self, rng):
+        import jax.numpy as jnp
+
+        from whisper_trtllm_tpu.config import WhisperConfig
+        from whisper_trtllm_tpu.models.whisper import init_params
+        from whisper_trtllm_tpu.models.whisper.model import decode_full, encode
+        from whisper_trtllm_tpu.quantization.smooth import (
+            smooth_quantize_whisper,
+            whisper_act_stats,
+        )
+
+        cfg = WhisperConfig.testing()
+        params = init_params(cfg, seed=0)
+        mel = rng.standard_normal(
+            (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+        ).astype(np.float32)
+        tokens = rng.integers(0, cfg.vocab_size, (2, 8)).astype(np.int32)
+        stats = whisper_act_stats(params, cfg, jnp.asarray(mel), jnp.asarray(tokens))
+        sq = smooth_quantize_whisper(params, stats)
+        return cfg, params, sq, mel, tokens, encode, decode_full
+
+    def test_logits_close_to_fp32(self, rng):
+        import jax
+
+        cfg, params, sq, mel, tokens, encode, decode_full = self._setup(rng)
+        ref_enc = np.asarray(jax.jit(lambda p, m: encode(p, cfg, m))(params, mel))
+        sq_enc = np.asarray(jax.jit(lambda p, m: encode(p, cfg, m))(sq, mel))
+        # int8 act+weight: ~1% relative error budget on encoder states
+        err = np.abs(sq_enc - ref_enc).max() / max(np.abs(ref_enc).max(), 1e-6)
+        assert err < 0.05, err
+
+        ref = np.asarray(jax.jit(
+            lambda p, t, e: decode_full(p, cfg, t, e)
+        )(params, tokens, ref_enc))
+        out = np.asarray(jax.jit(
+            lambda p, t, e: decode_full(p, cfg, t, e)
+        )(sq, tokens, sq_enc))
+        # greedy argmax agreement is the serving-relevant bar
+        agree = (out.argmax(-1) == ref.argmax(-1)).mean()
+        assert agree > 0.9, agree
+
+    def test_tree_structure(self, rng):
+        cfg, params, sq, *_ = self._setup(rng)
+        lq = sq["decoder"]["layers"]["self_attn"]["q"]
+        assert lq["kernel_sq"].dtype == np.int8
+        assert lq["smooth"].shape == (cfg.decoder_layers, cfg.d_model)
+        assert lq["scale"].shape == (cfg.decoder_layers, cfg.d_model)
+        # untouched pieces stay float
+        assert "kernel" in sq["encoder"]["conv1"]
+        assert sq["decoder"]["embed_tokens"].dtype == np.float32
+
+    def test_stats_shapes(self, rng):
+        import jax.numpy as jnp
+
+        from whisper_trtllm_tpu.config import WhisperConfig
+        from whisper_trtllm_tpu.models.whisper import init_params
+        from whisper_trtllm_tpu.quantization.smooth import whisper_act_stats
+
+        cfg = WhisperConfig.testing()
+        params = init_params(cfg, seed=0)
+        mel = np.zeros((1, 2 * cfg.max_source_positions, cfg.num_mel_bins),
+                       np.float32)
+        tokens = np.zeros((1, 4), np.int32)
+        stats = whisper_act_stats(params, cfg, jnp.asarray(mel),
+                                  jnp.asarray(tokens))
+        assert stats["encoder"]["fc2_in"].shape == (
+            cfg.encoder_layers, cfg.encoder_ffn_dim)
+        assert stats["decoder"]["cross_kv_in"].shape == (
+            cfg.decoder_layers, cfg.d_model)

@@ -8,3 +8,7 @@ from whisper_trtllm_tpu.quantization.quantize import (  # noqa: F401
     weight_only_quantize,
     weight_only_quantize_int4,
 )
+from whisper_trtllm_tpu.quantization.smooth import (  # noqa: F401
+    smooth_quantize_whisper,
+    whisper_act_stats,
+)
