@@ -53,3 +53,22 @@ def test_greedy_continuation_matches_hf(hf_pair, rng):
         nxt = logits[:, -1].argmax(-1).astype(np.int32)
         seq = np.concatenate([seq, nxt[:, None]], axis=1)
     np.testing.assert_array_equal(seq, theirs[:, : seq.shape[1]])
+
+
+def test_cached_generate_matches_hf(hf_pair, rng):
+    """KV-cached generate (shared causal-LM runtime) vs HF generate."""
+    import jax.numpy as jnp
+    import torch
+
+    from whisper_trtllm_tpu.models.opt import generate
+
+    hf, params, cfg = hf_pair
+    prompt = rng.integers(3, cfg.vocab_size, (2, 4)).astype(np.int32)
+    with torch.no_grad():
+        theirs = hf.generate(
+            torch.from_numpy(prompt.astype(np.int64)),
+            max_new_tokens=8, do_sample=False, pad_token_id=cfg.eos_token_id,
+        ).numpy()
+    ours = np.asarray(generate(params, cfg, jnp.asarray(prompt), 8))
+    n = min(ours.shape[1], theirs.shape[1])
+    np.testing.assert_array_equal(ours[:, :n], theirs[:, :n])

@@ -189,3 +189,28 @@ def test_uneven_heads_tp_matches_single_device(rng, mesh_shape):
         )
     np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
     np.testing.assert_array_equal(np.asarray(lens), np.asarray(ref_lens))
+
+
+def test_sharded_int8_vocab_inference(cfg, rng):
+    """int8-quantized vocab table (dict leaf at decoder.embed_tokens) must
+    shard (replicated) and run under DP x TP."""
+    from whisper_trtllm_tpu.quantization import quantize_vocab_embedding
+
+    gen = GenerationConfig(max_new_tokens=6)
+    params = quantize_vocab_embedding(init_params(cfg, seed=0))
+    mel = rng.standard_normal(
+        (8, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    ref_tokens, _ = jax.jit(
+        lambda p, m: transcribe_tokens(p, cfg, m, gen)
+    )(params, mel)
+
+    mesh = make_mesh(MeshConfig(2, 4))
+    sharded = shard_params(params, mesh)
+    assert sharded["decoder"]["embed_tokens"]["table_q"].dtype == jnp.int8
+    mel_sharded = jax.device_put(mel, NamedSharding(mesh, P("data")))
+    with mesh:
+        tokens, _ = jax.jit(lambda p, m: transcribe_tokens(p, cfg, m, gen))(
+            sharded, mel_sharded
+        )
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))

@@ -250,3 +250,59 @@ class TestSmoothQuant:
             cfg.encoder_layers, cfg.encoder_ffn_dim)
         assert stats["decoder"]["cross_kv_in"].shape == (
             cfg.decoder_layers, cfg.d_model)
+
+
+class TestVocabQuantization:
+    """int8 tied-vocab-table path (the decode loop's largest single weight
+    read; per-row scales factor out of the logits contraction)."""
+
+    def test_logits_and_lookup_close(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from whisper_trtllm_tpu.config import WhisperConfig
+        from whisper_trtllm_tpu.models.whisper import init_params
+        from whisper_trtllm_tpu.models.whisper.model import decode_full, encode
+        from whisper_trtllm_tpu.quantization import quantize_vocab_embedding
+
+        cfg = WhisperConfig.testing()
+        params = init_params(cfg, seed=0)
+        qparams = quantize_vocab_embedding(params)
+        assert qparams["decoder"]["embed_tokens"]["table_q"].dtype == np.int8
+        mel = rng.standard_normal(
+            (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+        ).astype(np.float32)
+        tokens = rng.integers(0, cfg.vocab_size, (2, 8)).astype(np.int32)
+        enc = jax.jit(lambda p, m: encode(p, cfg, m))(params, mel)
+        ref = np.asarray(jax.jit(
+            lambda p, t, e: decode_full(p, cfg, t, e))(params, tokens, enc))
+        out = np.asarray(jax.jit(
+            lambda p, t, e: decode_full(p, cfg, t, e))(qparams, tokens, enc))
+        rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+        assert rel < 0.02, rel
+        agree = (out.argmax(-1) == ref.argmax(-1)).mean()
+        assert agree > 0.95, agree
+
+    def test_session_runs_with_quantized_vocab(self, rng):
+        import jax
+
+        from whisper_trtllm_tpu.config import (
+            GenerationConfig,
+            RuntimeConfig,
+            WhisperConfig,
+        )
+        from whisper_trtllm_tpu.models.whisper import init_params
+        from whisper_trtllm_tpu.runtime import WhisperSession
+
+        cfg = WhisperConfig.testing()
+        params = init_params(cfg, seed=0)
+        sess = WhisperSession(
+            params, cfg, GenerationConfig(max_new_tokens=6),
+            RuntimeConfig(quantize_vocab=True, weight_dtype="int8"),
+        )
+        mel = rng.standard_normal(
+            (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+        ).astype(np.float32)
+        tokens, lengths = sess.transcribe_features(mel)
+        assert tokens.shape[0] == 2
+        assert np.asarray(lengths).min() >= 1

@@ -228,6 +228,11 @@ class RuntimeConfig:
     # weight-only quantization to all dense projections at session load
     # (quantization.weight_only_quantize)
     weight_dtype: str = "native"
+    # int8-quantize the tied vocab table (quantization.quantize_embedding):
+    # the vocab-head einsum reads the table int8 (largest single per-step
+    # weight read: 40 MB bf16 at tiny.en, 106 MB at medium.en), per-row
+    # scales applied after the dot
+    quantize_vocab: bool = False
     # fuse self-attention q/k/v into one matmul at load. Measured neutral
     # within run-to-run noise on v5e (docs/PERFORMANCE.md); kept for parity
     # with the reference's fused layout and for TP granularity. Off by

@@ -175,67 +175,21 @@ def _step(params, cfg: GPTConfig, tok, pos, cache_k, cache_v):
     return logits, cache_k, cache_v
 
 
-class _GenState(NamedTuple):
-    tokens: jnp.ndarray
-    pos: jnp.ndarray
-    finished: jnp.ndarray
-    cache_k: jnp.ndarray
-    cache_v: jnp.ndarray
-    key: jnp.ndarray
-
-
 @functools.lru_cache(maxsize=16)
 def _compiled_generate(cfg: GPTConfig, prompt_len: int, max_len: int,
                        sampling_cfg=None):
-    from whisper_trtllm_tpu.runtime import sampling as smp
-
-    sc = sampling_cfg  # (temperature, top_k, top_p, repetition_penalty, seed)
-
-    def pick(key, logits, tokens, pos):
-        if sc is None:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        t, k, p, rep, _ = sc
-        return smp.sample_token(
-            key, logits, temperature=t, top_k=k, top_p=p,
-            tokens=tokens, pos=pos, repetition_penalty=rep,
-        )
+    from whisper_trtllm_tpu.runtime import causal_lm
 
     def fn(params, prompt):
         b = prompt.shape[0]
-        shape = (cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim)
-        cache_k = jnp.zeros(shape, jnp.float32)
-        cache_v = jnp.zeros(shape, jnp.float32)
-        logits, cache_k, cache_v = _prefill(params, cfg, prompt, cache_k, cache_v)
-
-        key0 = jax.random.PRNGKey(sc[4] if sc else 0)
-        k_first, key0 = jax.random.split(key0)
-        tokens = jnp.full((b, max_len), cfg.eos_token_id, jnp.int32)
-        tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
-        first = pick(k_first, logits, tokens, jnp.int32(prompt_len - 1))
-        tokens = tokens.at[:, prompt_len].set(first)
-
-        state = _GenState(
-            tokens, jnp.int32(prompt_len),
-            first == cfg.eos_token_id, cache_k, cache_v, key0,
+        return causal_lm.generate_tokens(
+            lambda p, t, ck, cv: _prefill(p, cfg, t, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
+            params, prompt,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            prompt_len=prompt_len, max_len=max_len,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
         )
-
-        def cond(s):
-            return jnp.logical_and(s.pos < max_len - 1, ~jnp.all(s.finished))
-
-        def body(s):
-            cur = jax.lax.dynamic_index_in_dim(s.tokens, s.pos, 1, keepdims=False)
-            logits, ck, cv = _step(params, cfg, cur, s.pos, s.cache_k, s.cache_v)
-            step_key, carry_key = jax.random.split(s.key)
-            nxt = pick(step_key, logits, s.tokens, s.pos)
-            nxt = jnp.where(s.finished, jnp.int32(cfg.eos_token_id), nxt)
-            finished = jnp.logical_or(s.finished, nxt == cfg.eos_token_id)
-            tokens = jax.lax.dynamic_update_slice(
-                s.tokens, nxt[:, None], (0, s.pos + 1)
-            )
-            return _GenState(tokens, s.pos + 1, finished, ck, cv, carry_key)
-
-        final = jax.lax.while_loop(cond, body, state)
-        return final.tokens
 
     return jax.jit(fn)
 
@@ -246,13 +200,13 @@ def generate(params: dict, cfg: GPTConfig, prompt: jnp.ndarray,
              seed: int = 0) -> jnp.ndarray:
     """Generation: prompt (B, P) → tokens (B, P + max_new_tokens). Greedy by
     default; sampling knobs mirror the reference's DynamicDecodeLayer
-    (reference: cpp/tensorrt_llm/layers/dynamicDecodeLayer.h:37-128)."""
+    (reference: cpp/tensorrt_llm/layers/dynamicDecodeLayer.h:37-128). The
+    loop itself is the shared runtime.causal_lm.generate_tokens."""
     prompt_len = prompt.shape[1]
     max_len = min(cfg.n_positions, prompt_len + max_new_tokens)
-    sc = None
-    if temperature != 1.0 or top_k > 0 or (0.0 < top_p < 1.0) \
-            or repetition_penalty != 1.0:
-        sc = (temperature, top_k, top_p, repetition_penalty, seed)
+    from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
+
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty, seed)
     return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)
 
 

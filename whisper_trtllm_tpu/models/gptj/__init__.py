@@ -2,5 +2,6 @@ from whisper_trtllm_tpu.models.gptj.model import (  # noqa: F401
     GPTJConfig,
     convert_hf_gptj,
     forward,
+    generate,
     init_params,
 )

@@ -2,5 +2,6 @@ from whisper_trtllm_tpu.models.gptneox.model import (  # noqa: F401
     GPTNeoXConfig,
     convert_hf_gptneox,
     forward,
+    generate,
     init_params,
 )

@@ -12,6 +12,7 @@ residual forms. Converts from HF GPTNeoXForCausalLM for parity tests.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 from dataclasses import dataclass
 from typing import Tuple
@@ -196,3 +197,111 @@ def convert_hf_gptneox(hf_model) -> Tuple[dict, GPTNeoXConfig]:
         "embed_out": lin("embed_out", bias=False),
     }
     return params, cfg
+
+
+def _block(lp, cfg: GPTNeoXConfig, x, sin, cos, attend):
+    """One block (parallel or sequential residual); ``attend(q, k, v)``
+    supplies the attention (full causal in prefill, cached step in
+    generation)."""
+    b, s, _ = x.shape
+    dh = cfg.head_dim
+
+    def heads(t):
+        return t.reshape(b, s, cfg.n_head, dh).transpose(0, 2, 1, 3)
+
+    h = layer_norm(lp["input_ln"], x, eps=cfg.layer_norm_eps)
+    q = apply_partial_rope(heads(dense(lp["q"], h)), sin, cos, cfg.rotary_dim)
+    k = apply_partial_rope(heads(dense(lp["k"], h)), sin, cos, cfg.rotary_dim)
+    a = attend(q * dh ** -0.5, k, heads(dense(lp["v"], h)))
+    a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
+    attn_out = dense(lp["attn_out"], a)
+    if cfg.use_parallel_residual:
+        h2 = layer_norm(lp["post_attn_ln"], x, eps=cfg.layer_norm_eps)
+        ffn = dense(lp["fc_out"], ACT2FN[cfg.activation](dense(lp["fc_in"], h2)))
+        return x + attn_out + ffn
+    x = x + attn_out
+    h2 = layer_norm(lp["post_attn_ln"], x, eps=cfg.layer_norm_eps)
+    return x + dense(lp["fc_out"], ACT2FN[cfg.activation](dense(lp["fc_in"], h2)))
+
+
+def _prefill(params, cfg: GPTNeoXConfig, tokens, cache_k, cache_v):
+    from whisper_trtllm_tpu.ops.attention import mha as _mha
+
+    s = tokens.shape[1]
+    x = embedding(params["embed_in"], tokens)
+    sin, cos = neox_rope_sin_cos(cfg, jnp.arange(s))
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        holder = {}
+
+        def attend(q, k, v):
+            holder["kv"] = (k, v)
+            return _mha(q, k, v, causal=True)
+
+        x = _block(lp, cfg, x, sin, cos, attend)
+        k, v = holder["kv"]
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
+    x = layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)
+    logits = dense(params["embed_out"], x[:, -1]).astype(jnp.float32)
+    return logits, cache_k, cache_v
+
+
+def _step(params, cfg: GPTNeoXConfig, tok, pos, cache_k, cache_v):
+    from whisper_trtllm_tpu.ops.attention import mha_decode_step, update_kv_cache
+
+    x = embedding(params["embed_in"], tok[:, None])
+    sin, cos = neox_rope_sin_cos(cfg, pos[None])
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        holder = {}
+
+        def attend(q, k, v):
+            nck, ncv = update_kv_cache(ck, cv, k, v, pos)
+            holder["kv"] = (nck, ncv)
+            return mha_decode_step(q, nck, ncv, pos + 1)
+
+        x = _block(lp, cfg, x, sin, cos, attend)
+        return x, holder["kv"]
+
+    x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
+    x = layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)
+    logits = dense(params["embed_out"], x[:, 0]).astype(jnp.float32)
+    return logits, cache_k, cache_v
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate(cfg: GPTNeoXConfig, prompt_len: int, max_len: int,
+                       sampling_cfg=None):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
+    def fn(params, prompt):
+        b = prompt.shape[0]
+        return causal_lm.generate_tokens(
+            lambda p, t, ck, cv: _prefill(p, cfg, t, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
+            params, prompt,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            prompt_len=prompt_len, max_len=max_len,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
+        )
+
+    return jax.jit(fn)
+
+
+def generate(params: dict, cfg: GPTNeoXConfig, prompt: jnp.ndarray,
+             max_new_tokens: int, temperature: float = 1.0, top_k: int = 0,
+             top_p: float = 0.0, repetition_penalty: float = 1.0,
+             seed: int = 0) -> jnp.ndarray:
+    """KV-cached generation through the shared causal-LM runtime."""
+    from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
+
+    prompt_len = prompt.shape[1]
+    max_len = min(cfg.max_positions, prompt_len + max_new_tokens)
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty, seed)
+    return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)

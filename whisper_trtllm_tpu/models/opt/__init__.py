@@ -2,5 +2,6 @@ from whisper_trtllm_tpu.models.opt.model import (  # noqa: F401
     OPTConfig,
     convert_hf_opt,
     forward,
+    generate,
     init_params,
 )

@@ -10,6 +10,7 @@ converts from HF OPTForCausalLM for parity tests.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 from dataclasses import dataclass
 from typing import Tuple
@@ -19,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from whisper_trtllm_tpu.layers.init import init_dense, init_embedding, init_layer_norm
-from whisper_trtllm_tpu.ops.attention import mha
+from whisper_trtllm_tpu.ops.attention import mha, mha_decode_step, update_kv_cache
 from whisper_trtllm_tpu.ops.functional import ACT2FN, dense, embedding, layer_norm
 
 _POS_OFFSET = 2  # OPT reserves the first two positional rows
@@ -146,3 +147,100 @@ def convert_hf_opt(hf_model) -> Tuple[dict, OPTConfig]:
         "final_ln": ln("model.decoder.final_layer_norm"),
     }
     return params, cfg
+
+
+def _prefill(params, cfg: OPTConfig, tokens, cache_k, cache_v):
+    """Context phase with cache write (the shared causal-LM runtime's
+    contract, runtime/causal_lm.py)."""
+    b, s = tokens.shape
+    dh = cfg.head_dim
+    x = embedding(params["embed_tokens"], tokens)
+    x = x + params["embed_positions"][_POS_OFFSET : _POS_OFFSET + s][None]
+
+    def heads(t):
+        return t.reshape(b, s, cfg.n_head, dh).transpose(0, 2, 1, 3)
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = layer_norm(lp["attn_ln"], x)
+        q = heads(dense(lp["q"], h)) * dh ** -0.5
+        k, v = heads(dense(lp["k"], h)), heads(dense(lp["v"], h))
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        a = mha(q, k, v, causal=True)
+        x = x + dense(lp["attn_out"],
+                      a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model))
+        h = layer_norm(lp["ffn_ln"], x)
+        x = x + dense(lp["fc_out"], ACT2FN[cfg.activation](dense(lp["fc_in"], h)))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
+    x = layer_norm(params["final_ln"], x)
+    logits = jnp.einsum("bd,vd->bv", x[:, -1],
+                        params["embed_tokens"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, cache_k, cache_v
+
+
+def _step(params, cfg: OPTConfig, tok, pos, cache_k, cache_v):
+    """Generation phase: one token, cache append at ``pos``."""
+    b = tok.shape[0]
+    dh = cfg.head_dim
+    x = embedding(params["embed_tokens"], tok[:, None])
+    x = x + jax.lax.dynamic_slice_in_dim(
+        params["embed_positions"], pos + _POS_OFFSET, 1, 0)[None]
+
+    def heads(t):
+        return t.reshape(b, 1, cfg.n_head, dh).transpose(0, 2, 1, 3)
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = layer_norm(lp["attn_ln"], x)
+        q = heads(dense(lp["q"], h)) * dh ** -0.5
+        ck, cv = update_kv_cache(ck, cv, heads(dense(lp["k"], h)),
+                                 heads(dense(lp["v"], h)), pos)
+        a = mha_decode_step(q, ck, cv, pos + 1)
+        x = x + dense(lp["attn_out"],
+                      a.transpose(0, 2, 1, 3).reshape(b, 1, cfg.d_model))
+        h = layer_norm(lp["ffn_ln"], x)
+        x = x + dense(lp["fc_out"], ACT2FN[cfg.activation](dense(lp["fc_in"], h)))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
+    x = layer_norm(params["final_ln"], x)
+    logits = jnp.einsum("bd,vd->bv", x[:, 0],
+                        params["embed_tokens"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, cache_k, cache_v
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate(cfg: OPTConfig, prompt_len: int, max_len: int,
+                       sampling_cfg=None):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
+    def fn(params, prompt):
+        b = prompt.shape[0]
+        return causal_lm.generate_tokens(
+            lambda p, t, ck, cv: _prefill(p, cfg, t, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
+            params, prompt,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            prompt_len=prompt_len, max_len=max_len,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
+        )
+
+    return jax.jit(fn)
+
+
+def generate(params: dict, cfg: OPTConfig, prompt: jnp.ndarray,
+             max_new_tokens: int, temperature: float = 1.0, top_k: int = 0,
+             top_p: float = 0.0, repetition_penalty: float = 1.0,
+             seed: int = 0) -> jnp.ndarray:
+    """KV-cached generation through the shared causal-LM runtime."""
+    from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
+
+    prompt_len = prompt.shape[1]
+    max_len = min(cfg.max_positions, prompt_len + max_new_tokens)
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty, seed)
+    return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)

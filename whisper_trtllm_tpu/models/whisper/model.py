@@ -62,6 +62,26 @@ def _stack(trees: list) -> dict:
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *trees)
 
 
+
+def _vocab_logits(dec: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Tied vocab head (reference model.py:455-457 proj_out tied to
+    embeddings), fp32 logits. With an int8-quantized table
+    (quantization.quantize_embedding) the per-row scales factor out of the
+    contraction over d — the table is read from HBM as int8 (the decode
+    loop's largest single weight read) and the upcast fuses into the dot."""
+    table = dec["embed_tokens"]
+    if isinstance(table, dict):
+        logits = jnp.einsum(
+            "bsd,vd->bsv", x, table["table_q"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits * table["scale"].astype(jnp.float32)[None, None, :]
+    return jnp.einsum(
+        "bsd,vd->bsv", x, table.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _scan_unroll() -> int:
     """Layer-scan unroll factor for the decode step (trace-time). Unrolling
     lets XLA overlap one layer's weight DMA with the previous layer's
@@ -208,12 +228,7 @@ def decode_full(
 
     x, _ = jax.lax.scan(body, x, dec["layers"])
     x = layer_norm(dec["layer_norm"], x)
-    # tied vocab head (reference model.py:455-457 proj_out tied to embeddings)
-    logits = jnp.einsum(
-        "bsd,vd->bsv", x, dec["embed_tokens"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )
-    return logits
+    return _vocab_logits(dec, x)
 
 
 # --------------------------------------------------------------------------
@@ -358,10 +373,7 @@ def decode_step_kv(
         unroll=_scan_unroll(),
     )
     x = layer_norm(dec["layer_norm"], x)
-    logits = jnp.einsum(
-        "bsd,vd->bsv", x, dec["embed_tokens"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )[:, 0]
+    logits = _vocab_logits(dec, x)[:, 0]
     return logits, new_self
 
 
@@ -436,10 +448,7 @@ def decode_step_ragged(
         body, x, (dec["layers"], self_k, self_v, cross_k, cross_v)
     )
     x = layer_norm(dec["layer_norm"], x)
-    logits = jnp.einsum(
-        "bsd,vd->bsv", x, dec["embed_tokens"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )[:, 0]
+    logits = _vocab_logits(dec, x)[:, 0]
     return logits, self_k, self_v
 
 
@@ -503,10 +512,7 @@ def decode_chunk(
         body, x, (dec["layers"], sk0, sv0) + tuple(cross_kv)
     )
     x = layer_norm(dec["layer_norm"], x)
-    logits = jnp.einsum(
-        "bsd,vd->bsv", x, dec["embed_tokens"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    logits = _vocab_logits(dec, x)
     return logits, new_self
 
 

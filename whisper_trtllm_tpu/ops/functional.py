@@ -113,11 +113,19 @@ def rms_norm(params: dict, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     return y.astype(dtype)
 
 
-def embedding(table: jnp.ndarray, ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+def embedding(table, ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """Token embedding gather (analog of lookupPlugin, reference:
     cpp/tensorrt_llm/plugins/lookupPlugin/lookupPlugin.cpp) — with a sharded
-    table XLA lowers this to a distributed gather, no plugin needed."""
-    out = jnp.take(table, ids, axis=0)
+    table XLA lowers this to a distributed gather, no plugin needed.
+
+    ``table`` may be an int8-quantized dict {"table_q", "scale"} from
+    quantization.quantize_embedding — gathered rows dequantize on the fly."""
+    if isinstance(table, dict):
+        rows = jnp.take(table["table_q"], ids, axis=0)
+        scale = jnp.take(table["scale"], ids, axis=0)[..., None]
+        out = rows.astype(scale.dtype) * scale
+    else:
+        out = jnp.take(table, ids, axis=0)
     return out.astype(dtype) if dtype is not None else out
 
 

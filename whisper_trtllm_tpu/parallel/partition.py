@@ -74,6 +74,12 @@ def _adapt_specs_to_quantized(params, specs):
     sharding (so a column-parallel projection keeps its scales local)."""
     if not isinstance(params, dict):
         return specs
+    if isinstance(params, dict) and "table_q" in params and not isinstance(
+        specs, dict
+    ):
+        # int8-quantized embedding table: both leaves inherit the table spec
+        # on their row (vocab) dim; per-row scales follow the same sharding
+        return {"table_q": specs, "scale": P(*tuple(specs)[:1])}
     if isinstance(specs, dict) and "kernel" in specs and (
         "kernel_q" in params or "kernel_q4" in params
     ):

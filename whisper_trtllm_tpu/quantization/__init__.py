@@ -12,3 +12,7 @@ from whisper_trtllm_tpu.quantization.smooth import (  # noqa: F401
     smooth_quantize_whisper,
     whisper_act_stats,
 )
+from whisper_trtllm_tpu.quantization.quantize import (  # noqa: F401
+    quantize_embedding,
+    quantize_vocab_embedding,
+)

@@ -148,3 +148,27 @@ def weight_only_quantize_int4(params: dict,
         return out
 
     return walk(params)
+
+
+def quantize_embedding(table: np.ndarray) -> dict:
+    """(V, d) fp → {"table_q" int8, "scale" (V,) fp32}, symmetric per row.
+
+    Targets the tied vocab head: the logits einsum contracts over d, so the
+    per-row scale factors out of the dot entirely — HBM reads the table
+    int8 (the decode loop's single largest weight read: 40 MB bf16 at
+    tiny.en, 106 MB at medium.en) and the MXU sees an int8->bf16 upcast
+    fused into the matmul, same as weight-only dense."""
+    table = np.asarray(table, np.float32)
+    amax = np.maximum(np.abs(table).max(axis=1), 1e-8)
+    scale = (amax / 127.0).astype(np.float32)
+    q = np.clip(np.round(table / scale[:, None]), -127, 127).astype(np.int8)
+    return {"table_q": q, "scale": scale}
+
+
+def quantize_vocab_embedding(params: dict) -> dict:
+    """Whisper-tree rewrite: decoder.embed_tokens → int8 dict (embedding
+    lookups dequantize per gathered row; the vocab-head einsum applies the
+    scales after the dot)."""
+    dec = dict(params["decoder"])
+    dec["embed_tokens"] = quantize_embedding(dec["embed_tokens"])
+    return {**params, "decoder": dec}

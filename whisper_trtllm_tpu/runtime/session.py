@@ -78,6 +78,10 @@ class WhisperSession:
             raise ValueError(
                 f"unknown weight_dtype {wd!r}; expected native/int8/int4"
             )
+        if self.runtime.quantize_vocab:
+            from whisper_trtllm_tpu.quantization import quantize_vocab_embedding
+
+            params = quantize_vocab_embedding(params)
         params = wmodel.cast_params(params, self._dtype)
         if self.mesh is not None:
             from whisper_trtllm_tpu.parallel.partition import shard_params
