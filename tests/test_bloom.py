@@ -5,7 +5,7 @@ import jax
 import numpy as np
 import pytest
 
-from whisper_trtllm_tpu.models.bloom import convert_hf_bloom, forward
+from whisper_trtllm_tpu.models.bloom import convert_hf_bloom, forward, generate
 
 
 @pytest.fixture(scope="module")
@@ -53,3 +53,22 @@ def test_greedy_continuation_matches_hf(hf_pair, rng):
         nxt = logits[:, -1].argmax(-1).astype(np.int32)
         seq = np.concatenate([seq, nxt[:, None]], axis=1)
     np.testing.assert_array_equal(seq, theirs[:, : seq.shape[1]])
+
+
+def test_cached_generate_matches_hf(hf_pair, rng):
+    """Cached prefill+step generation (ALiBi bias in the decode-step kernel)
+    is token-exact vs HF greedy generate (the reference runs Bloom through
+    GenerationSession the same way, reference: examples/bloom/run.py)."""
+    import torch
+
+    hf, params, cfg = hf_pair
+    tokens = rng.integers(3, cfg.vocab_size, (2, 5)).astype(np.int32)
+    new = 7
+    with torch.no_grad():
+        theirs = hf.generate(
+            torch.from_numpy(tokens.astype(np.int64)),
+            max_new_tokens=new, do_sample=False, pad_token_id=cfg.eos_token_id,
+        ).numpy()
+    ours = np.asarray(generate(params, cfg, tokens, max_new_tokens=new))
+    # compare up to each row's EOS (HF pads with eos after finish, as do we)
+    np.testing.assert_array_equal(ours, theirs)

@@ -146,3 +146,45 @@ def test_position_ids():
     pos = build_position_ids(8, mask_pos=3, ctx_len=5)
     np.testing.assert_array_equal(pos[0], [0, 1, 2, 3, 4, 3, 3, 3])
     np.testing.assert_array_equal(pos[1], [0, 0, 0, 0, 0, 1, 2, 3])
+
+
+def test_cached_generate_matches_teacher_forced(glm_pair, rng):
+    """Cached prefill+step generation (2D-rope positions per step, the
+    analog of the reference's ChatGLM6BHeadModelGenerationSession,
+    reference: tensorrt_llm/runtime/generation.py:1000) is token-exact vs
+    a greedy loop over the teacher-forced forward."""
+    import jax.numpy as jnp
+
+    from whisper_trtllm_tpu.models.chatglm6b import generate
+
+    _, params, cfg = glm_pair
+    ctx = 5
+    mask_pos = ctx - 2
+    new = 6
+    prompt = rng.integers(3, cfg.vocab_size, (2, ctx)).astype(np.int32)
+
+    # reference loop: re-run the full prefix-LM forward each step
+    seq = prompt
+    for _ in range(new):
+        s = seq.shape[1]
+        pos_ids = np.broadcast_to(
+            build_position_ids(s, mask_pos, ctx)[None], (2, 2, s))
+        logits = np.asarray(
+            forward(params, cfg, seq, jnp.asarray(pos_ids), ctx))
+        nxt = logits[:, -1].argmax(-1).astype(np.int32)
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+
+    ours = np.asarray(
+        generate(params, cfg, prompt, max_new_tokens=new, mask_pos=mask_pos))
+    # rows may hit EOS in ours (post-EOS positions hold eos); compare to the
+    # same convention in the reference loop
+    eos = cfg.eos_token_id
+    for b in range(seq.shape[0]):
+        row_ref, row_ours = seq[b], ours[b]
+        done = False
+        for t in range(ctx, seq.shape[1]):
+            if done:
+                assert row_ours[t] == eos
+            else:
+                assert row_ours[t] == row_ref[t]
+                done = row_ref[t] == eos

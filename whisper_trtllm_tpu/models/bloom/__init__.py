@@ -2,5 +2,6 @@ from whisper_trtllm_tpu.models.bloom.model import (  # noqa: F401
     BloomConfig,
     convert_hf_bloom,
     forward,
+    generate,
     init_params,
 )

@@ -10,6 +10,7 @@ the additive ALiBi bias inside attention carries position information.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 from dataclasses import dataclass
 from typing import Tuple
@@ -19,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from whisper_trtllm_tpu.layers.init import init_dense, init_embedding, init_layer_norm
-from whisper_trtllm_tpu.ops.attention import mha
+from whisper_trtllm_tpu.ops.attention import mha, mha_decode_step, update_kv_cache
 from whisper_trtllm_tpu.ops.functional import alibi_bias, dense, embedding, gelu, layer_norm
 
 
@@ -101,6 +102,118 @@ def forward(params: dict, cfg: BloomConfig, tokens: jnp.ndarray) -> jnp.ndarray:
         "bsd,vd->bsv", x, params["word_embeddings"].astype(x.dtype),
         preferred_element_type=jnp.float32,
     )
+
+
+def _prefill(params, cfg: BloomConfig, tokens, cache_k, cache_v):
+    """Context phase: run the whole prompt once, writing K/V into the static
+    caches (the reference's gptAttentionPlugin context phase with alibi,
+    reference: tensorrt_llm/layers/attention.py)."""
+    b, s = tokens.shape
+    dh = cfg.head_dim
+    x = embedding(params["word_embeddings"], tokens)
+    x = layer_norm(params["embed_ln"], x, cfg.layer_norm_eps)
+    bias = alibi_bias(cfg.n_head, s)
+
+    def heads(t):
+        return t.reshape(b, s, cfg.n_head, dh).transpose(0, 2, 1, 3)
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = layer_norm(lp["input_ln"], x, cfg.layer_norm_eps)
+        q = heads(dense(lp["q"], h)) * dh ** -0.5
+        k = heads(dense(lp["k"], h))
+        v = heads(dense(lp["v"], h))
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        a = mha(q, k, v, mask=bias, causal=True)
+        a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
+        x = x + dense(lp["attn_out"], a)
+        h = layer_norm(lp["post_ln"], x, cfg.layer_norm_eps)
+        x = x + dense(lp["fc_out"], gelu(dense(lp["fc_in"], h)))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (params["layers"], cache_k, cache_v)
+    )
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    logits = jnp.einsum(
+        "bd,vd->bv", x[:, -1], params["word_embeddings"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, cache_k, cache_v
+
+
+def _step(params, cfg: BloomConfig, tok, pos, cache_k, cache_v):
+    """Generation phase: one token for the whole batch. ALiBi needs no
+    per-step position input — the bias depends only on key positions (the
+    softmax is shift-invariant in the query term), so one constant
+    (1, H, 1, Tmax) bias serves every step."""
+    b = tok.shape[0]
+    dh = cfg.head_dim
+    x = embedding(params["word_embeddings"], tok[:, None])
+    x = layer_norm(params["embed_ln"], x, cfg.layer_norm_eps)
+    bias = alibi_bias(cfg.n_head, cache_k.shape[3])     # (1, H, 1, Tmax)
+
+    def heads(t):
+        return t.reshape(b, 1, cfg.n_head, dh).transpose(0, 2, 1, 3)
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = layer_norm(lp["input_ln"], x, cfg.layer_norm_eps)
+        q = heads(dense(lp["q"], h)) * dh ** -0.5
+        ck, cv = update_kv_cache(
+            ck, cv, heads(dense(lp["k"], h)), heads(dense(lp["v"], h)), pos
+        )
+        a = mha_decode_step(q, ck, cv, pos + 1, bias=bias)
+        a = a.transpose(0, 2, 1, 3).reshape(b, 1, cfg.d_model)
+        x = x + dense(lp["attn_out"], a)
+        h = layer_norm(lp["post_ln"], x, cfg.layer_norm_eps)
+        x = x + dense(lp["fc_out"], gelu(dense(lp["fc_in"], h)))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (params["layers"], cache_k, cache_v)
+    )
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    logits = jnp.einsum(
+        "bd,vd->bv", x[:, 0], params["word_embeddings"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, cache_k, cache_v
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate(cfg: BloomConfig, prompt_len: int, max_len: int,
+                       sampling_cfg=None):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
+    def fn(params, prompt):
+        b = prompt.shape[0]
+        return causal_lm.generate_tokens(
+            lambda p, t, ck, cv: _prefill(p, cfg, t, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
+            params, prompt,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            prompt_len=prompt_len, max_len=max_len,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
+        )
+
+    return jax.jit(fn)
+
+
+def generate(params: dict, cfg: BloomConfig, prompt: jnp.ndarray,
+             max_new_tokens: int, temperature: float = 1.0, top_k: int = 0,
+             top_p: float = 0.0, repetition_penalty: float = 1.0,
+             seed: int = 0) -> jnp.ndarray:
+    """Cached generation via the shared causal-LM loop (the reference runs
+    Bloom through the same GenerationSession as GPT, reference:
+    examples/bloom/run.py → tensorrt_llm/runtime/generation.py:151)."""
+    from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
+
+    prompt_len = prompt.shape[1]
+    max_len = prompt_len + max_new_tokens
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty, seed)
+    return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)
 
 
 def convert_hf_bloom(hf_model) -> Tuple[dict, BloomConfig]:

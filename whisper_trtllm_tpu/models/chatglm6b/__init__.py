@@ -3,5 +3,6 @@ from whisper_trtllm_tpu.models.chatglm6b.model import (  # noqa: F401
     build_position_ids,
     convert_hf_chatglm6b,
     forward,
+    generate,
     init_params,
 )

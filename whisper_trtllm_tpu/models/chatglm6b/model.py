@@ -32,6 +32,7 @@ tests/functional/torch_ref.py pattern).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 from dataclasses import dataclass
 from typing import Tuple
@@ -41,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from whisper_trtllm_tpu.layers.init import init_dense, init_embedding, init_layer_norm
+from whisper_trtllm_tpu.ops.attention import mha_decode_step, update_kv_cache
 from whisper_trtllm_tpu.ops.functional import ACT2FN, dense, embedding, layer_norm
 
 
@@ -184,6 +186,147 @@ def forward(
     x, _ = jax.lax.scan(body, x, params["layers"])
     x = layer_norm(params["final_ln"], x)
     return dense(params["lm_head"], x).astype(jnp.float32)
+
+
+def _prefill(params, cfg: ChatGLM6BConfig, tokens, position_ids, ctx_len,
+             cache_k, cache_v):
+    """Context phase: the prefix-LM forward, writing post-rope K and V into
+    the static caches (the GLM analog of the reference's
+    ChatGLM6BHeadModelGenerationSession context step, reference:
+    tensorrt_llm/runtime/generation.py:1000)."""
+    b, s = tokens.shape
+    dh = cfg.head_dim
+    alpha = cfg.residual_alpha
+    x = embedding(params["embed_tokens"], tokens)
+
+    quarter = dh // 2
+    cos0, sin0 = glm_rope_tables(quarter, position_ids[:, 0])
+    cos1, sin1 = glm_rope_tables(quarter, position_ids[:, 1])
+
+    q_pos = jnp.arange(s)[:, None]
+    k_pos = jnp.arange(s)[None, :]
+    allowed = (k_pos < ctx_len) | (k_pos <= q_pos)
+
+    def heads(t):
+        return t.reshape(b, s, cfg.n_head, dh).transpose(0, 2, 1, 3)
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = layer_norm(lp["input_ln"], x)
+        q = apply_2d_rope(heads(dense(lp["q"], h)), cos0, sin0, cos1, sin1)
+        k = apply_2d_rope(heads(dense(lp["k"], h)), cos0, sin0, cos1, sin1)
+        v = heads(dense(lp["v"], h))
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q * dh ** -0.5, k,
+                            preferred_element_type=jnp.float32)
+        scores = jnp.where(allowed[None, None], scores, -1e9)
+        p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        a = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
+        x = h * alpha + dense(lp["attn_out"], a)
+        h = layer_norm(lp["post_ln"], x)
+        x = h * alpha + dense(
+            lp["fc_out"], ACT2FN[cfg.activation](dense(lp["fc_in"], h)))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (params["layers"], cache_k, cache_v)
+    )
+    x = layer_norm(params["final_ln"], x)
+    logits = dense(params["lm_head"], x[:, -1]).astype(jnp.float32)
+    return logits, cache_k, cache_v
+
+
+def _step(params, cfg: ChatGLM6BConfig, tok, pos, mask_pos, ctx_len,
+          cache_k, cache_v):
+    """Generation phase. GLM position ids for a generated token at absolute
+    position ``pos``: channel 0 frozen at the [gMASK] position, channel 1 =
+    pos - (ctx_len - 1). Every cached position is visible (prefix-LM: the
+    prompt is bidirectional and all earlier generated tokens precede the
+    query), so plain valid_len masking suffices."""
+    b = tok.shape[0]
+    dh = cfg.head_dim
+    alpha = cfg.residual_alpha
+    x = embedding(params["embed_tokens"], tok[:, None])
+
+    quarter = dh // 2
+    p0 = jnp.full((b, 1), mask_pos, jnp.int32)
+    p1 = jnp.full((b, 1), 0, jnp.int32) + (pos - (ctx_len - 1))
+    cos0, sin0 = glm_rope_tables(quarter, p0)
+    cos1, sin1 = glm_rope_tables(quarter, p1)
+
+    def heads(t):
+        return t.reshape(b, 1, cfg.n_head, dh).transpose(0, 2, 1, 3)
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = layer_norm(lp["input_ln"], x)
+        q = apply_2d_rope(heads(dense(lp["q"], h)), cos0, sin0, cos1, sin1)
+        k = apply_2d_rope(heads(dense(lp["k"], h)), cos0, sin0, cos1, sin1)
+        v = heads(dense(lp["v"], h))
+        ck, cv = update_kv_cache(ck, cv, k, v, pos)
+        a = mha_decode_step(q * dh ** -0.5, ck, cv, pos + 1)
+        a = a.transpose(0, 2, 1, 3).reshape(b, 1, cfg.d_model)
+        x = h * alpha + dense(lp["attn_out"], a)
+        h = layer_norm(lp["post_ln"], x)
+        x = h * alpha + dense(
+            lp["fc_out"], ACT2FN[cfg.activation](dense(lp["fc_in"], h)))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (params["layers"], cache_k, cache_v)
+    )
+    x = layer_norm(params["final_ln"], x)
+    logits = dense(params["lm_head"], x[:, 0]).astype(jnp.float32)
+    return logits, cache_k, cache_v
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate(cfg: ChatGLM6BConfig, prompt_len: int, max_len: int,
+                       mask_pos: int, sampling_cfg=None):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
+    pos_np = build_position_ids(prompt_len, mask_pos, prompt_len)  # (2, P)
+
+    def fn(params, prompt):
+        b = prompt.shape[0]
+        position_ids = jnp.broadcast_to(
+            jnp.asarray(pos_np)[None], (b, 2, prompt_len)
+        )
+        return causal_lm.generate_tokens(
+            lambda p, t, ck, cv: _prefill(
+                p, cfg, t, position_ids, prompt_len, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(
+                p, cfg, tok, pos, mask_pos, prompt_len, ck, cv),
+            params, prompt,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            prompt_len=prompt_len, max_len=max_len,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
+        )
+
+    return jax.jit(fn)
+
+
+def generate(params: dict, cfg: ChatGLM6BConfig, prompt: jnp.ndarray,
+             max_new_tokens: int, mask_pos: int | None = None,
+             temperature: float = 1.0, top_k: int = 0, top_p: float = 0.0,
+             repetition_penalty: float = 1.0, seed: int = 0) -> jnp.ndarray:
+    """Cached GLM generation — the analog of the reference's dedicated
+    ChatGLM6BHeadModelGenerationSession (reference:
+    tensorrt_llm/runtime/generation.py:1000), which exists exactly because
+    GLM's per-step position ids differ from GPT's. ``mask_pos`` is the
+    [gMASK] index in the prompt (defaults to the second-to-last position,
+    the GLM convention of prompt + [gMASK] + <sop>)."""
+    from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
+
+    prompt_len = prompt.shape[1]
+    if mask_pos is None:
+        mask_pos = prompt_len - 2
+    max_len = min(cfg.max_positions, prompt_len + max_new_tokens)
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty, seed)
+    return _compiled_generate(cfg, prompt_len, max_len, int(mask_pos), sc)(
+        params, prompt)
 
 
 def convert_hf_chatglm6b(state_dict: dict, cfg: ChatGLM6BConfig) -> dict:

@@ -151,6 +151,7 @@ def mha_decode_step(
     fp32_softmax: bool = True,
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Single-token attention against a static cache.
 
@@ -158,6 +159,11 @@ def mha_decode_step(
     of valid cache positions. Positions >= valid_len are masked out, which is
     how one static shape serves every step (and both self- and cross-
     attention: for cross, valid_len is the constant encoder length).
+
+    ``bias``: optional additive score bias broadcastable to (B, H, 1, Tmax)
+    — the ALiBi path (the reference's gptAttention plugin takes the same
+    per-head alibi slopes, reference: tensorrt_llm/layers/attention.py
+    alibi + functional.py:3222-3283).
 
     ``valid_len`` may also be a per-lane (B,) vector (ragged batches, the
     in-flight-batching case — analog of ibGptAttentionPlugin's per-request
@@ -184,6 +190,8 @@ def mha_decode_step(
             "bhqd,bhtd->bhqt", q, cache_k.astype(q.dtype),
             preferred_element_type=jnp.float32,
         ) * k_scale[..., 0][:, :, None, :]              # (B,H,1,T)
+        if bias is not None:
+            scores = scores + bias.astype(scores.dtype)
         t = cache_k.shape[2]
         pos_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
         vl = valid_len[:, None, None, None] if per_lane else valid_len
@@ -196,6 +204,7 @@ def mha_decode_step(
         )
     if (
         not per_lane
+        and bias is None
         and cache_k.shape[2] % 8 == 0
         and cache_k.dtype != jnp.int8
         and os.environ.get("WHISPER_TPU_FORCE_PALLAS_DECODE") == "1"
@@ -207,6 +216,8 @@ def mha_decode_step(
     scores = jnp.einsum(
         "bhqd,bhtd->bhqt", q, cache_k, preferred_element_type=jnp.float32
     )
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
     t = cache_k.shape[2]
     pos_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
     vl = valid_len[:, None, None, None] if per_lane else valid_len
