@@ -65,6 +65,35 @@ def test_benchmark_cli(capsys):
     assert "latency_ms_p50" in out and "audio_s_per_s" in out
 
 
+def test_benchmark_cli_zoo(capsys):
+    """Zoo benchmark path (the reference's gpt/bert benchmark CLIs,
+    reference: benchmarks/{gpt,bert}_benchmark.py + allowed_configs.py)."""
+    _run("whisper_trtllm_tpu.benchmarks.benchmark",
+         ["--model", "gpt_tiny", "bert_tiny", "--batch", "2",
+          "--gen-tokens", "4", "--in-len", "8", "--iters", "2"])
+    out = capsys.readouterr().out
+    assert "tokens_per_s" in out and "sequences_per_s" in out
+
+
+def test_benchmark_cli_zoo_int8(capsys):
+    _run("whisper_trtllm_tpu.benchmarks.benchmark",
+         ["--model", "gpt_tiny", "--batch", "1", "--gen-tokens", "4",
+          "--in-len", "8", "--iters", "1", "--quant", "int8"])
+    out = capsys.readouterr().out
+    assert '"quant": "int8"' in out
+
+
+def test_allowed_configs_cover_reference_names():
+    """Every model name the reference benchmark accepts exists here
+    (reference: benchmarks/allowed_configs.py)."""
+    from whisper_trtllm_tpu.benchmarks.allowed_configs import ALLOWED_CONFIGS
+
+    for name in ["gpt_350m", "gpt_175b", "opt_350m", "opt_66b", "llama_7b",
+                 "llama_30b", "gptj_6b", "gptneox_20b", "chatglm_6b",
+                 "bert_base", "bert_large"]:
+        assert name in ALLOWED_CONFIGS
+
+
 def test_finetune_cli(checkpoint, tmp_path, capsys, rng):
     import pickle
 

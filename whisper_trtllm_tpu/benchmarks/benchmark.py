@@ -75,24 +75,112 @@ def bench_config(model: str, batch: int, dtype: str, gen_tokens: int,
     }
 
 
+def bench_zoo(name: str, batch: int, in_len: int, out_len: int, dtype: str,
+              iters: int, quant: str | None = None) -> dict:
+    """Benchmark a named zoo config (the reference's gpt_benchmark /
+    bert_benchmark, reference: benchmarks/{gpt,bert}_benchmark.py +
+    allowed_configs.py): causal families run the cached generation loop and
+    report tokens/s; BERT runs the encoder and reports sequences/s. Same
+    latency percentiles as the reference (benchmarks/README.md:31-35)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_trtllm_tpu.benchmarks.allowed_configs import (
+        ALLOWED_CONFIGS, build_model)
+
+    entry = ALLOWED_CONFIGS[name]
+    fam, cfg, init_params, generate, forward = build_model(name)
+    batch = min(batch, entry.max_batch_size)
+    in_len = min(in_len, entry.max_input_len)
+    out_len = min(out_len, entry.max_output_len) if entry.max_output_len else 0
+
+    params = init_params(cfg, seed=0)
+    if quant == "int8":
+        from whisper_trtllm_tpu.quantization.quantize import weight_only_quantize
+
+        params = weight_only_quantize(params)
+    if dtype == "bfloat16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.asarray(x).dtype == jnp.float32 else x, params)
+    params = jax.device_put(params)
+
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(
+        rng.integers(3, cfg.vocab_size, (batch, in_len)).astype(np.int32))
+
+    if fam == "bert":
+        fn = jax.jit(lambda p, t: forward(p, cfg, t))
+        run = lambda: jax.tree_util.tree_leaves(fn(params, tokens))[0]
+        work_tokens = batch * in_len
+    else:
+        # disable EOS early-exit for stable measurement (random weights)
+        cfg = dataclasses.replace(cfg, eos_token_id=-1)
+        run = lambda: generate(params, cfg, tokens, max_new_tokens=out_len)
+        work_tokens = batch * out_len
+
+    np.asarray(run()).reshape(-1)[:1]  # compile + hard D2H sync
+    lats = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = run()
+        np.asarray(out).reshape(-1)[:1]  # D2H completion barrier
+        lats.append(time.perf_counter() - t0)
+    lats = np.asarray(lats)
+    med = float(np.median(lats))
+    row = {
+        "model": name,
+        "family": fam,
+        "batch": batch,
+        "input_len": in_len,
+        "output_len": out_len,
+        "dtype": dtype,
+        "quant": quant,
+        "latency_ms_p50": round(float(np.percentile(lats, 50)) * 1e3, 2),
+        "latency_ms_p95": round(float(np.percentile(lats, 95)) * 1e3, 2),
+        "latency_ms_p99": round(float(np.percentile(lats, 99)) * 1e3, 2),
+        "tokens_per_s" if fam != "bert" else "tokens_encoded_per_s":
+            round(work_tokens / med, 1),
+        "backend": str(jax.default_backend()),
+    }
+    if fam == "bert":
+        row["sequences_per_s"] = round(batch / med, 1)
+    return row
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", nargs="+", default=["tiny.en"])
+    ap.add_argument("--model", nargs="+", default=["tiny.en"],
+                    help="whisper presets, or zoo names from "
+                         "allowed_configs.py (gpt_350m, llama_7b, bert_base, "
+                         "...)")
     ap.add_argument("--batch", type=int, nargs="+", default=[1, 8])
     ap.add_argument("--dtype", nargs="+", default=["float32"])
     ap.add_argument("--gen-tokens", type=int, default=48)
+    ap.add_argument("--in-len", type=int, default=32,
+                    help="prompt length for zoo causal models / BERT seq len")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--num-beams", type=int, default=1)
+    ap.add_argument("--quant", choices=["int8"], default=None,
+                    help="weight-only int8 for zoo models")
     ap.add_argument("--checkpoint", default=None)
     args = ap.parse_args()
+
+    from whisper_trtllm_tpu.benchmarks.allowed_configs import ALLOWED_CONFIGS
 
     for model in args.model:
         for dtype in args.dtype:
             for batch in args.batch:
-                row = bench_config(
-                    model, batch, dtype, args.gen_tokens, args.iters,
-                    args.checkpoint, args.num_beams,
-                )
+                if model in ALLOWED_CONFIGS:
+                    row = bench_zoo(
+                        model, batch, args.in_len, args.gen_tokens, dtype,
+                        args.iters, args.quant,
+                    )
+                else:
+                    row = bench_config(
+                        model, batch, dtype, args.gen_tokens, args.iters,
+                        args.checkpoint, args.num_beams,
+                    )
                 print(json.dumps(row))
 
 
