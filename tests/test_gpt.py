@@ -73,3 +73,36 @@ def test_sampled_generate_deterministic_and_diverse(hf_pair, rng):
     assert not np.array_equal(a, c)       # seeds diverge
     greedy = np.asarray(generate(params, cfg, jnp.asarray(prompt), 10))
     assert greedy.shape == a.shape
+
+
+def test_generate_ragged_matches_per_row(hf_pair, rng):
+    """Variable-length batched generation (per-row input_lengths, the
+    reference's GenerationSession.decode ragged path + gather_last_token_logits,
+    reference: tensorrt_llm/runtime/generation.py:782, functional.py:3316):
+    each row of the ragged batch equals an independent single-row generate."""
+    from whisper_trtllm_tpu.models.gpt import generate_ragged
+
+    hf, params, cfg = hf_pair
+    lens = np.array([2, 5, 3], np.int32)
+    pad = int(lens.max())
+    new = 6
+    prompt = rng.integers(3, cfg.vocab_size, (3, pad)).astype(np.int32)
+    # right-pad rows past their length with an arbitrary token — must not
+    # affect the output
+    for b, l in enumerate(lens):
+        prompt[b, l:] = 7
+
+    batched = np.asarray(
+        generate_ragged(params, cfg, prompt, lens, max_new_tokens=new))
+    eos = cfg.eos_token_id
+    for b, l in enumerate(lens):
+        single = np.asarray(
+            generate(params, cfg, prompt[b : b + 1, :l], max_new_tokens=new)
+        )[0]
+        row = batched[b]
+        # prompt region
+        np.testing.assert_array_equal(row[:l], prompt[b, :l])
+        # continuation (incl. eos padding once finished)
+        np.testing.assert_array_equal(row[l : l + new], single[l : l + new])
+        # everything past the lane's continuation is eos padding
+        assert (row[l + new:] == eos).all()

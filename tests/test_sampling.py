@@ -157,3 +157,14 @@ def test_prompt_tuning_embedding(rng):
     np.testing.assert_array_equal(out[0, 1], table[9])
     np.testing.assert_array_equal(out[0, 2], ptable[0])
     np.testing.assert_array_equal(out[0, 3], ptable[2])
+
+
+def test_gather_last_token_logits(rng):
+    """Ragged context-phase gather (reference: tensorrt_llm/functional.py:3316)."""
+    from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
+
+    x = rng.standard_normal((3, 7, 5)).astype(np.float32)
+    lens = np.array([1, 7, 4], np.int32)
+    out = np.asarray(gather_last_token_logits(x, lens))
+    for b, l in enumerate(lens):
+        np.testing.assert_array_equal(out[b], x[b, l - 1])

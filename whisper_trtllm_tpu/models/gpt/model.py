@@ -175,6 +175,102 @@ def _step(params, cfg: GPTConfig, tok, pos, cache_k, cache_v):
     return logits, cache_k, cache_v
 
 
+def _prefill_ragged(params, cfg: GPTConfig, tokens, lens, cache_k, cache_v):
+    """Context phase over a right-padded ragged batch: identical graph to
+    _prefill, but each row's logits come from its own last valid position
+    (reference: tensorrt_llm/functional.py:3316 gather_last_token_logits)."""
+    from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
+
+    b, s = tokens.shape
+    x = embedding(params["wte"], tokens)
+    x = x + params["wpe"][:s][None]
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        a, k, v = _attention(lp, x, cfg, causal=True)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        x = x + a
+        x = x + _mlp(lp, x, cfg)
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (params["layers"], cache_k, cache_v)
+    )
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    last = gather_last_token_logits(x, lens)            # (B, d)
+    logits = jnp.einsum("bd,vd->bv", last, params["wte"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, cache_k, cache_v
+
+
+def _step_ragged(params, cfg: GPTConfig, tok, pos, cache_k, cache_v):
+    """Generation phase with per-lane positions (B,): per-lane positional
+    embedding, per-lane cache write offsets and valid lengths (the
+    ibGptAttentionPlugin per-request-length analog, reference:
+    cpp/tensorrt_llm/plugins/ibGptAttentionPlugin/)."""
+    x = embedding(params["wte"], tok[:, None])
+    x = x + jnp.take(params["wpe"], pos, axis=0)[:, None]
+    b = tok.shape[0]
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = layer_norm(lp["ln_1"], x, cfg.layer_norm_eps)
+        qkv = dense(lp["attn_qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, 1, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
+
+        q = heads(q) * cfg.head_dim ** -0.5
+        ck, cv = update_kv_cache(ck, cv, heads(k), heads(v), pos)
+        a = mha_decode_step(q, ck, cv, pos + 1)
+        a = a.transpose(0, 2, 1, 3).reshape(b, 1, cfg.d_model)
+        x = x + dense(lp["attn_out"], a)
+        x = x + _mlp(lp, x, cfg)
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (params["layers"], cache_k, cache_v)
+    )
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    logits = jnp.einsum("bd,vd->bv", x[:, 0], params["wte"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, cache_k, cache_v
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate_ragged(cfg: GPTConfig, prompt_pad: int,
+                              max_new_tokens: int, sampling_cfg=None):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
+    def fn(params, prompt, lens):
+        b = prompt.shape[0]
+        max_len = prompt_pad + max_new_tokens
+        return causal_lm.generate_tokens_ragged(
+            lambda p, t, l, ck, cv: _prefill_ragged(p, cfg, t, l, ck, cv),
+            lambda p, tok, pos, ck, cv: _step_ragged(p, cfg, tok, pos, ck, cv),
+            params, prompt, lens,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            max_new_tokens=max_new_tokens,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
+        )
+
+    return jax.jit(fn)
+
+
+def generate_ragged(params: dict, cfg: GPTConfig, prompt: jnp.ndarray,
+                    prompt_lens, max_new_tokens: int) -> jnp.ndarray:
+    """Batched generation over variable-length (right-padded) prompts —
+    the reference's GenerationSession.decode(input_ids, input_lengths, ...)
+    capability (reference: tensorrt_llm/runtime/generation.py:782). Each row
+    generates from its own last prompt token; rows are exactly what
+    independent per-row generate() calls would produce."""
+    prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
+    return _compiled_generate_ragged(
+        cfg, prompt.shape[1], max_new_tokens)(params, prompt, prompt_lens)
+
+
 @functools.lru_cache(maxsize=16)
 def _compiled_generate(cfg: GPTConfig, prompt_len: int, max_len: int,
                        sampling_cfg=None):

@@ -194,6 +194,17 @@ def alibi_bias(num_heads: int, seq_len: int) -> jnp.ndarray:
     return (slopes_arr[:, None] * positions[None, :])[None, :, None, :]
 
 
+def gather_last_token_logits(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Gather each row's last *valid* position from a right-padded batch:
+    x (B, S, ...) + lengths (B,) → (B, ...) at index lengths-1 per row
+    (analog of reference: tensorrt_llm/functional.py:3316
+    gather_last_token_logits, the ragged-batch context-phase logits gather)."""
+    idx = jnp.clip(lengths.astype(jnp.int32) - 1, 0, x.shape[1] - 1)
+    return jnp.take_along_axis(
+        x, idx[:, None, *([None] * (x.ndim - 2))], axis=1
+    ).squeeze(1)
+
+
 def mish(x: jnp.ndarray) -> jnp.ndarray:
     """Mish activation (reference: tensorrt_llm/layers/activation.py Mish)."""
     return x * jnp.tanh(jax.nn.softplus(x))
