@@ -1,6 +1,7 @@
 """CLI smoke tests (the L7 apps layer, analog of reference EX/ scripts),
 run in-process on tiny checkpoints."""
 
+import json
 import runpy
 import sys
 
@@ -128,3 +129,23 @@ def test_warm_cache_cli(checkpoint, capsys):
           "--cache-dir", "/tmp/wtpu_test_cache"])
     out = capsys.readouterr().out
     assert "warmed batch=1" in out
+
+
+def test_run_zoo_cli(capsys):
+    """Zoo runner (the reference's per-model examples/*/run.py analog)."""
+    _run("cli.run_zoo",
+         ["--family", "gpt", "--prompt-ids", "3", "4", "5",
+          "--max-new-tokens", "4"])
+    out = capsys.readouterr().out
+    row = json.loads(out.strip().splitlines()[-1])
+    assert row["family"] == "gpt" and len(row["output_ids"]) == 7
+
+
+def test_run_zoo_cli_sampled(capsys):
+    _run("cli.run_zoo",
+         ["--family", "llama", "--prompt-ids", "3", "4",
+          "--max-new-tokens", "3", "--sample", "--temperature", "0.7",
+          "--top-k", "5"])
+    out = capsys.readouterr().out
+    row = json.loads(out.strip().splitlines()[-1])
+    assert len(row["output_ids"]) == 5

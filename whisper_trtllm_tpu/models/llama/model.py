@@ -13,7 +13,7 @@ import dataclasses
 import functools
 import json
 from dataclasses import dataclass
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -180,65 +180,69 @@ def _step(params, cfg: LlamaConfig, tok, pos, cache_k, cache_v):
     return _logits(params, cfg, x)[:, 0], cache_k, cache_v
 
 
-class _GenState(NamedTuple):
-    tokens: jnp.ndarray
-    pos: jnp.ndarray
-    finished: jnp.ndarray
-    cache_k: jnp.ndarray
-    cache_v: jnp.ndarray
+def _prefill(params, cfg: LlamaConfig, tokens, cache_k, cache_v):
+    """Fused context phase: the whole prompt in one MXU-friendly pass,
+    writing post-rope K and V into the static caches (the
+    gptAttentionPlugin context phase; GQA caches store n_kv_head heads)."""
+    b, s = tokens.shape
+    dh = cfg.head_dim
+    x = embedding(params["embed_tokens"], tokens)
+    sin, cos = rope_sin_cos(cfg, jnp.arange(s))
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = rms_norm(lp["input_norm"], x, cfg.rms_eps)
+        q = apply_rope(_split(dense(lp["q"], h), cfg.n_head, dh), sin, cos)
+        k = apply_rope(_split(dense(lp["k"], h), cfg.n_kv_head, dh), sin, cos)
+        v = _split(dense(lp["v"], h), cfg.n_kv_head, dh)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        a = mha(q * dh ** -0.5, k, v, causal=True)
+        a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
+        x = x + dense(lp["o"], a)
+        h = rms_norm(lp["post_norm"], x, cfg.rms_eps)
+        x = x + dense(lp["down"], jax.nn.silu(dense(lp["gate"], h)) * dense(lp["up"], h))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (params["layers"], cache_k, cache_v)
+    )
+    x = rms_norm(params["norm"], x, cfg.rms_eps)
+    return _logits(params, cfg, x[:, -1:])[:, 0], cache_k, cache_v
 
 
 @functools.lru_cache(maxsize=8)
-def _compiled_generate(cfg: LlamaConfig, prompt_len: int, max_len: int):
+def _compiled_generate(cfg: LlamaConfig, prompt_len: int, max_len: int,
+                       sampling_cfg=None):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
     def fn(params, prompt):
         b = prompt.shape[0]
-        shape = (cfg.n_layer, b, cfg.n_kv_head, max_len, cfg.head_dim)
-        ck = jnp.zeros(shape, jnp.float32)
-        cv = jnp.zeros(shape, jnp.float32)
-
-        # prefill token-by-token via the step path (simple, exercises the
-        # same code as generation; a fused context phase is the GPT model's
-        # pattern)
-        tokens = jnp.full((b, max_len), cfg.eos_token_id, jnp.int32)
-        tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
-
-        def prefill_body(i, carry):
-            ck, cv, last_logits = carry
-            logits, ck, cv = _step(params, cfg, tokens[:, i], i, ck, cv)
-            return ck, cv, logits
-
-        ck, cv, logits = jax.lax.fori_loop(
-            0, prompt_len, prefill_body,
-            (ck, cv, jnp.zeros((b, cfg.vocab_size), jnp.float32)),
+        return causal_lm.generate_tokens(
+            lambda p, t, ck, cv: _prefill(p, cfg, t, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
+            params, prompt,
+            cache_shape=(cfg.n_layer, b, cfg.n_kv_head, max_len, cfg.head_dim),
+            prompt_len=prompt_len, max_len=max_len,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
         )
-        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        tokens = tokens.at[:, prompt_len].set(first)
-
-        state = _GenState(tokens, jnp.int32(prompt_len),
-                          first == cfg.eos_token_id, ck, cv)
-
-        def cond(s):
-            return jnp.logical_and(s.pos < max_len - 1, ~jnp.all(s.finished))
-
-        def body(s):
-            cur = jax.lax.dynamic_index_in_dim(s.tokens, s.pos, 1, keepdims=False)
-            logits, ck, cv = _step(params, cfg, cur, s.pos, s.cache_k, s.cache_v)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            nxt = jnp.where(s.finished, jnp.int32(cfg.eos_token_id), nxt)
-            finished = s.finished | (nxt == cfg.eos_token_id)
-            tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.pos + 1))
-            return _GenState(tokens, s.pos + 1, finished, ck, cv)
-
-        return jax.lax.while_loop(cond, body, state).tokens
 
     return jax.jit(fn)
 
 
 def generate(params: dict, cfg: LlamaConfig, prompt: jnp.ndarray,
-             max_new_tokens: int) -> jnp.ndarray:
+             max_new_tokens: int, temperature: float = 1.0, top_k: int = 0,
+             top_p: float = 0.0, repetition_penalty: float = 1.0,
+             seed: int = 0) -> jnp.ndarray:
+    """KV-cached generation through the shared causal-LM runtime (fused
+    context phase + one-token generation phase, the reference's
+    GenerationSession pattern)."""
+    from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
+
     prompt_len = prompt.shape[1]
     max_len = min(cfg.max_positions, prompt_len + max_new_tokens)
-    return _compiled_generate(cfg, prompt_len, max_len)(params, prompt)
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty, seed)
+    return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)
 
 
 # -- HF conversion --------------------------------------------------------------
