@@ -214,3 +214,33 @@ def test_sharded_int8_vocab_inference(cfg, rng):
             sharded, mel_sharded
         )
     np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+
+
+def test_beam_search_sharded_matches_single_device(cfg, rng):
+    """Beam search under a TP mesh: the beam-parent cache reorder
+    (take_along_axis over sharded KV, replacing the reference's
+    cache_indirection ping-pong, reference:
+    tensorrt_llm/runtime/generation.py:823-915) must stay on device and be
+    bit-exact vs the unsharded run — SURVEY §7 hard part (e)."""
+    from whisper_trtllm_tpu.models.whisper import encode
+    from whisper_trtllm_tpu.runtime.beam import beam_decode
+
+    gen = GenerationConfig(max_new_tokens=6, num_beams=3)
+    params = init_params(cfg, seed=0)
+    mel = rng.standard_normal(
+        (4, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+
+    enc = jax.jit(lambda p, m: encode(p, cfg, m))(params, mel)
+    ref_tokens, ref_scores, ref_lens = beam_decode(params, cfg, enc, gen)
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    sharded = shard_params(params, mesh)
+    mel_sharded = jax.device_put(mel, NamedSharding(mesh, P("data")))
+    with mesh:
+        enc_s = jax.jit(lambda p, m: encode(p, cfg, m))(sharded, mel_sharded)
+        tokens, scores, lens = beam_decode(sharded, cfg, enc_s, gen)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(ref_lens))
