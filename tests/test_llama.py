@@ -53,3 +53,26 @@ def test_generate_matches_hf(hf_pair, rng):
         ).numpy()
     ours = np.asarray(generate(params, cfg, jnp.asarray(prompt), 10))
     np.testing.assert_array_equal(ours[:, : theirs.shape[1]], theirs)
+
+
+def test_generate_ragged_matches_per_row(hf_pair, rng):
+    """Per-row input-lengths generation (per-lane RoPE angles + cache
+    offsets) equals independent single-row generate — the reference's
+    GenerationSession.decode(input_lengths) path for the LLaMA family."""
+    from whisper_trtllm_tpu.models.llama import generate_ragged
+
+    hf, params, cfg = hf_pair
+    lens = np.array([2, 4], np.int32)
+    pad = int(lens.max())
+    new = 5
+    prompt = rng.integers(3, cfg.vocab_size, (2, pad)).astype(np.int32)
+    prompt[0, 2:] = 9           # right-pad garbage must not matter
+
+    batched = np.asarray(
+        generate_ragged(params, cfg, prompt, lens, max_new_tokens=new))
+    for b, l in enumerate(lens):
+        single = np.asarray(
+            generate(params, cfg, jnp.asarray(prompt[b : b + 1, :l]), new))[0]
+        np.testing.assert_array_equal(batched[b, :l], prompt[b, :l])
+        np.testing.assert_array_equal(batched[b, l : l + new],
+                                      single[l : l + new])

@@ -143,11 +143,54 @@ def _prefill(params, cfg: BloomConfig, tokens, cache_k, cache_v):
     return logits, cache_k, cache_v
 
 
+def _prefill_ragged(params, cfg: BloomConfig, tokens, lens, cache_k, cache_v):
+    """Ragged context phase: same graph as _prefill, hidden state gathered
+    at each row's own last valid position before the vocab head (reference:
+    tensorrt_llm/functional.py:3316 gather_last_token_logits)."""
+    from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
+
+    b, s = tokens.shape
+    dh = cfg.head_dim
+    x = embedding(params["word_embeddings"], tokens)
+    x = layer_norm(params["embed_ln"], x, cfg.layer_norm_eps)
+    bias = alibi_bias(cfg.n_head, s)
+
+    def heads(t):
+        return t.reshape(b, s, cfg.n_head, dh).transpose(0, 2, 1, 3)
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = layer_norm(lp["input_ln"], x, cfg.layer_norm_eps)
+        q = heads(dense(lp["q"], h)) * dh ** -0.5
+        k = heads(dense(lp["k"], h))
+        v = heads(dense(lp["v"], h))
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        a = mha(q, k, v, mask=bias, causal=True)
+        a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
+        x = x + dense(lp["attn_out"], a)
+        h = layer_norm(lp["post_ln"], x, cfg.layer_norm_eps)
+        x = x + dense(lp["fc_out"], gelu(dense(lp["fc_in"], h)))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (params["layers"], cache_k, cache_v)
+    )
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    last = gather_last_token_logits(x, lens)
+    logits = jnp.einsum(
+        "bd,vd->bv", last, params["word_embeddings"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, cache_k, cache_v
+
+
 def _step(params, cfg: BloomConfig, tok, pos, cache_k, cache_v):
     """Generation phase: one token for the whole batch. ALiBi needs no
     per-step position input — the bias depends only on key positions (the
     softmax is shift-invariant in the query term), so one constant
-    (1, H, 1, Tmax) bias serves every step."""
+    (1, H, 1, Tmax) bias serves every step; ``pos`` may be a scalar
+    (lockstep) or a (B,) vector (ragged per-lane offsets)."""
     b = tok.shape[0]
     dh = cfg.head_dim
     x = embedding(params["word_embeddings"], tok[:, None])
@@ -180,6 +223,35 @@ def _step(params, cfg: BloomConfig, tok, pos, cache_k, cache_v):
         preferred_element_type=jnp.float32,
     )
     return logits, cache_k, cache_v
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate_ragged(cfg: BloomConfig, prompt_pad: int,
+                              max_new_tokens: int, sampling_cfg=None):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
+    def fn(params, prompt, lens):
+        b = prompt.shape[0]
+        max_len = prompt_pad + max_new_tokens
+        return causal_lm.generate_tokens_ragged(
+            lambda p, t, l, ck, cv: _prefill_ragged(p, cfg, t, l, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
+            params, prompt, lens,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            max_new_tokens=max_new_tokens,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
+        )
+
+    return jax.jit(fn)
+
+
+def generate_ragged(params: dict, cfg: BloomConfig, prompt: jnp.ndarray,
+                    prompt_lens, max_new_tokens: int) -> jnp.ndarray:
+    """Variable-length batched generation (per-row input lengths) — see
+    models/gpt/model.py::generate_ragged."""
+    prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
+    return _compiled_generate_ragged(
+        cfg, prompt.shape[1], max_new_tokens)(params, prompt, prompt_lens)
 
 
 @functools.lru_cache(maxsize=16)

@@ -70,10 +70,12 @@ def apply_rope_interleaved(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray,
                            rotary_dim: int):
     """x: (B, H, S, dh); rotate the first rotary_dim dims in pairs
     (x[2i], x[2i+1]), pass the tail through unchanged."""
+    if sin.ndim == 2:
+        sin, cos = sin[None, None], cos[None, None]
     rot, tail = x[..., :rotary_dim], x[..., rotary_dim:]
     x1, x2 = rot[..., 0::2], rot[..., 1::2]
     rotated = jnp.stack([-x2, x1], axis=-1).reshape(rot.shape)
-    rot = rot * cos[None, None] + rotated * sin[None, None]
+    rot = rot * cos + rotated * sin
     return jnp.concatenate([rot.astype(x.dtype), tail], axis=-1)
 
 
@@ -215,11 +217,47 @@ def _prefill(params, cfg: GPTJConfig, tokens, cache_k, cache_v):
     return logits, cache_k, cache_v
 
 
+def _prefill_ragged(params, cfg: GPTJConfig, tokens, lens, cache_k, cache_v):
+    """Ragged context phase: same graph as _prefill, hidden state gathered
+    at each row's own last valid position before the vocab head (reference:
+    tensorrt_llm/functional.py:3316 gather_last_token_logits)."""
+    from whisper_trtllm_tpu.ops.attention import mha as _mha
+    from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
+
+    s = tokens.shape[1]
+    x = embedding(params["wte"], tokens)
+    sin, cos = rope_interleaved_sin_cos(cfg.rotary_dim, jnp.arange(s))
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        holder = {}
+
+        def attend(q, k, v):
+            holder["kv"] = (k, v)
+            return _mha(q, k, v, causal=True)
+
+        x = _block(lp, cfg, x, sin, cos, attend)
+        k, v = holder["kv"]
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
+    x = layer_norm(params["ln_f"], x)
+    last = gather_last_token_logits(x, lens)
+    logits = dense(params["lm_head"], last).astype(jnp.float32)
+    return logits, cache_k, cache_v
+
+
 def _step(params, cfg: GPTJConfig, tok, pos, cache_k, cache_v):
     from whisper_trtllm_tpu.ops.attention import mha_decode_step, update_kv_cache
 
     x = embedding(params["wte"], tok[:, None])
-    sin, cos = rope_interleaved_sin_cos(cfg.rotary_dim, pos[None])
+    if getattr(pos, "ndim", 0) == 1:
+        sin, cos = rope_interleaved_sin_cos(cfg.rotary_dim, pos)  # (B, rd)
+        sin, cos = sin[:, None, None], cos[:, None, None]
+    else:
+        sin, cos = rope_interleaved_sin_cos(cfg.rotary_dim, pos[None])
 
     def body(x, xs):
         lp, ck, cv = xs
@@ -237,6 +275,35 @@ def _step(params, cfg: GPTJConfig, tok, pos, cache_k, cache_v):
     x = layer_norm(params["ln_f"], x)
     logits = dense(params["lm_head"], x[:, 0]).astype(jnp.float32)
     return logits, cache_k, cache_v
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate_ragged(cfg: GPTJConfig, prompt_pad: int,
+                              max_new_tokens: int, sampling_cfg=None):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
+    def fn(params, prompt, lens):
+        b = prompt.shape[0]
+        max_len = prompt_pad + max_new_tokens
+        return causal_lm.generate_tokens_ragged(
+            lambda p, t, l, ck, cv: _prefill_ragged(p, cfg, t, l, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
+            params, prompt, lens,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            max_new_tokens=max_new_tokens,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
+        )
+
+    return jax.jit(fn)
+
+
+def generate_ragged(params: dict, cfg: GPTJConfig, prompt: jnp.ndarray,
+                    prompt_lens, max_new_tokens: int) -> jnp.ndarray:
+    """Variable-length batched generation (per-row input lengths) — see
+    models/gpt/model.py::generate_ragged."""
+    prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
+    return _compiled_generate_ragged(
+        cfg, prompt.shape[1], max_new_tokens)(params, prompt, prompt_lens)
 
 
 @functools.lru_cache(maxsize=16)

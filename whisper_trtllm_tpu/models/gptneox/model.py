@@ -251,11 +251,48 @@ def _prefill(params, cfg: GPTNeoXConfig, tokens, cache_k, cache_v):
     return logits, cache_k, cache_v
 
 
+def _prefill_ragged(params, cfg: GPTNeoXConfig, tokens, lens,
+                    cache_k, cache_v):
+    """Ragged context phase: same graph as _prefill, hidden state gathered
+    at each row's own last valid position before the vocab head (reference:
+    tensorrt_llm/functional.py:3316 gather_last_token_logits)."""
+    from whisper_trtllm_tpu.ops.attention import mha as _mha
+    from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
+
+    s = tokens.shape[1]
+    x = embedding(params["embed_in"], tokens)
+    sin, cos = neox_rope_sin_cos(cfg, jnp.arange(s))
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        holder = {}
+
+        def attend(q, k, v):
+            holder["kv"] = (k, v)
+            return _mha(q, k, v, causal=True)
+
+        x = _block(lp, cfg, x, sin, cos, attend)
+        k, v = holder["kv"]
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
+    x = layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)
+    last = gather_last_token_logits(x, lens)
+    logits = dense(params["embed_out"], last).astype(jnp.float32)
+    return logits, cache_k, cache_v
+
+
 def _step(params, cfg: GPTNeoXConfig, tok, pos, cache_k, cache_v):
     from whisper_trtllm_tpu.ops.attention import mha_decode_step, update_kv_cache
 
     x = embedding(params["embed_in"], tok[:, None])
-    sin, cos = neox_rope_sin_cos(cfg, pos[None])
+    if getattr(pos, "ndim", 0) == 1:
+        sin, cos = neox_rope_sin_cos(cfg, pos)           # (B, rd)
+        sin, cos = sin[:, None, None], cos[:, None, None]
+    else:
+        sin, cos = neox_rope_sin_cos(cfg, pos[None])
 
     def body(x, xs):
         lp, ck, cv = xs
@@ -273,6 +310,35 @@ def _step(params, cfg: GPTNeoXConfig, tok, pos, cache_k, cache_v):
     x = layer_norm(params["final_ln"], x, eps=cfg.layer_norm_eps)
     logits = dense(params["embed_out"], x[:, 0]).astype(jnp.float32)
     return logits, cache_k, cache_v
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate_ragged(cfg: GPTNeoXConfig, prompt_pad: int,
+                              max_new_tokens: int, sampling_cfg=None):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
+    def fn(params, prompt, lens):
+        b = prompt.shape[0]
+        max_len = prompt_pad + max_new_tokens
+        return causal_lm.generate_tokens_ragged(
+            lambda p, t, l, ck, cv: _prefill_ragged(p, cfg, t, l, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
+            params, prompt, lens,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            max_new_tokens=max_new_tokens,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
+        )
+
+    return jax.jit(fn)
+
+
+def generate_ragged(params: dict, cfg: GPTNeoXConfig, prompt: jnp.ndarray,
+                    prompt_lens, max_new_tokens: int) -> jnp.ndarray:
+    """Variable-length batched generation (per-row input lengths) — see
+    models/gpt/model.py::generate_ragged."""
+    prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
+    return _compiled_generate_ragged(
+        cfg, prompt.shape[1], max_new_tokens)(params, prompt, prompt_lens)
 
 
 @functools.lru_cache(maxsize=16)

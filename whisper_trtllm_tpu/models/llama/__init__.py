@@ -3,5 +3,6 @@ from whisper_trtllm_tpu.models.llama.model import (  # noqa: F401
     convert_hf_llama,
     forward,
     generate,
+    generate_ragged,
     init_params,
 )

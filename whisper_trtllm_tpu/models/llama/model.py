@@ -69,11 +69,14 @@ def rope_sin_cos(cfg: LlamaConfig, positions: jnp.ndarray):
 
 
 def apply_rope(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray):
-    """x: (B, H, S, dh); sin/cos: (S, dh) — HF rotate_half convention."""
+    """x: (B, H, S, dh); sin/cos: (S, dh) — HF rotate_half convention —
+    or pre-broadcast 4-D (e.g. (B, 1, 1, dh) for per-lane ragged steps)."""
+    if sin.ndim == 2:
+        sin, cos = sin[None, None], cos[None, None]
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
-    return (x * cos[None, None] + rotated * sin[None, None]).astype(x.dtype)
+    return (x * cos + rotated * sin).astype(x.dtype)
 
 
 # -- params -------------------------------------------------------------------
@@ -184,6 +187,27 @@ def _prefill(params, cfg: LlamaConfig, tokens, cache_k, cache_v):
     """Fused context phase: the whole prompt in one MXU-friendly pass,
     writing post-rope K and V into the static caches (the
     gptAttentionPlugin context phase; GQA caches store n_kv_head heads)."""
+    x, cache_k, cache_v = _prefill_hidden(params, cfg, tokens,
+                                          cache_k, cache_v)
+    return _logits(params, cfg, x[:, -1:])[:, 0], cache_k, cache_v
+
+
+def _prefill_ragged(params, cfg: LlamaConfig, tokens, lens, cache_k, cache_v):
+    """Ragged context phase: same graph as _prefill, logits gathered at each
+    row's own last valid position (reference: tensorrt_llm/functional.py:3316)."""
+    from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
+
+    x, cache_k, cache_v = _prefill_hidden(params, cfg, tokens,
+                                          cache_k, cache_v)
+    last = gather_last_token_logits(x, lens)[:, None]    # (B, 1, d)
+    return _logits(params, cfg, last)[:, 0], cache_k, cache_v
+
+
+def _prefill_hidden(params, cfg: LlamaConfig, tokens, cache_k, cache_v):
+    """Context phase returning final hidden states (B, S, d) — shared by the
+    lockstep prefill (projects [:, -1]) and the ragged prefill (gathers each
+    row's last valid position first); the vocab projection runs only on the
+    gathered positions."""
     b, s = tokens.shape
     dh = cfg.head_dim
     x = embedding(params["embed_tokens"], tokens)
@@ -207,8 +231,72 @@ def _prefill(params, cfg: LlamaConfig, tokens, cache_k, cache_v):
     x, (cache_k, cache_v) = jax.lax.scan(
         body, x, (params["layers"], cache_k, cache_v)
     )
+    return rms_norm(params["norm"], x, cfg.rms_eps), cache_k, cache_v
+
+
+def _step_ragged(params, cfg: LlamaConfig, tok, pos, cache_k, cache_v):
+    """Generation phase with per-lane positions (B,): per-lane RoPE angles,
+    cache write offsets, and valid lengths."""
+    b = tok.shape[0]
+    dh = cfg.head_dim
+    x = embedding(params["embed_tokens"], tok[:, None])
+    sin, cos = rope_sin_cos(cfg, pos)                    # (B, dh)
+    sin, cos = sin[:, None, None], cos[:, None, None]    # (B, 1, 1, dh)
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = rms_norm(lp["input_norm"], x, cfg.rms_eps)
+        q = apply_rope(_split(dense(lp["q"], h), cfg.n_head, dh), sin, cos)
+        k = apply_rope(_split(dense(lp["k"], h), cfg.n_kv_head, dh), sin, cos)
+        v = _split(dense(lp["v"], h), cfg.n_kv_head, dh)
+        ck, cv = update_kv_cache(ck, cv, k, v, pos)
+        rep = cfg.n_head // cfg.n_kv_head
+        a = mha_decode_step(
+            q * dh ** -0.5,
+            jnp.repeat(ck, rep, axis=1) if rep > 1 else ck,
+            jnp.repeat(cv, rep, axis=1) if rep > 1 else cv,
+            pos + 1,
+        )
+        a = a.transpose(0, 2, 1, 3).reshape(b, 1, cfg.d_model)
+        x = x + dense(lp["o"], a)
+        h = rms_norm(lp["post_norm"], x, cfg.rms_eps)
+        x = x + dense(lp["down"], jax.nn.silu(dense(lp["gate"], h)) * dense(lp["up"], h))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, x, (params["layers"], cache_k, cache_v)
+    )
     x = rms_norm(params["norm"], x, cfg.rms_eps)
-    return _logits(params, cfg, x[:, -1:])[:, 0], cache_k, cache_v
+    return _logits(params, cfg, x)[:, 0], cache_k, cache_v
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_generate_ragged(cfg: LlamaConfig, prompt_pad: int,
+                              max_new_tokens: int, sampling_cfg=None):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
+    def fn(params, prompt, lens):
+        b = prompt.shape[0]
+        max_len = prompt_pad + max_new_tokens
+        return causal_lm.generate_tokens_ragged(
+            lambda p, t, l, ck, cv: _prefill_ragged(p, cfg, t, l, ck, cv),
+            lambda p, tok, pos, ck, cv: _step_ragged(p, cfg, tok, pos, ck, cv),
+            params, prompt, lens,
+            cache_shape=(cfg.n_layer, b, cfg.n_kv_head, max_len, cfg.head_dim),
+            max_new_tokens=max_new_tokens,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
+        )
+
+    return jax.jit(fn)
+
+
+def generate_ragged(params: dict, cfg: LlamaConfig, prompt: jnp.ndarray,
+                    prompt_lens, max_new_tokens: int) -> jnp.ndarray:
+    """Variable-length batched generation (per-row input lengths) — see
+    models/gpt/model.py::generate_ragged."""
+    prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
+    return _compiled_generate_ragged(
+        cfg, prompt.shape[1], max_new_tokens)(params, prompt, prompt_lens)
 
 
 @functools.lru_cache(maxsize=8)

@@ -182,13 +182,56 @@ def _prefill(params, cfg: OPTConfig, tokens, cache_k, cache_v):
     return logits, cache_k, cache_v
 
 
+def _prefill_ragged(params, cfg: OPTConfig, tokens, lens, cache_k, cache_v):
+    """Ragged context phase: same graph as _prefill, but each row's hidden
+    state is gathered at its own last valid position before the vocab
+    projection (reference: tensorrt_llm/functional.py:3316
+    gather_last_token_logits)."""
+    from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
+
+    b, s = tokens.shape
+    dh = cfg.head_dim
+    x = embedding(params["embed_tokens"], tokens)
+    x = x + params["embed_positions"][_POS_OFFSET : _POS_OFFSET + s][None]
+
+    def heads(t):
+        return t.reshape(b, s, cfg.n_head, dh).transpose(0, 2, 1, 3)
+
+    def body(x, xs):
+        lp, ck, cv = xs
+        h = layer_norm(lp["attn_ln"], x)
+        q = heads(dense(lp["q"], h)) * dh ** -0.5
+        k, v = heads(dense(lp["k"], h)), heads(dense(lp["v"], h))
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        a = mha(q, k, v, causal=True)
+        x = x + dense(lp["attn_out"],
+                      a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model))
+        h = layer_norm(lp["ffn_ln"], x)
+        x = x + dense(lp["fc_out"], ACT2FN[cfg.activation](dense(lp["fc_in"], h)))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
+    x = layer_norm(params["final_ln"], x)
+    last = gather_last_token_logits(x, lens)            # (B, d)
+    logits = jnp.einsum("bd,vd->bv", last,
+                        params["embed_tokens"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, cache_k, cache_v
+
+
 def _step(params, cfg: OPTConfig, tok, pos, cache_k, cache_v):
-    """Generation phase: one token, cache append at ``pos``."""
+    """Generation phase: one token, cache append at ``pos`` (a scalar for
+    lockstep batches or a (B,) vector for ragged/per-lane batches)."""
     b = tok.shape[0]
     dh = cfg.head_dim
     x = embedding(params["embed_tokens"], tok[:, None])
-    x = x + jax.lax.dynamic_slice_in_dim(
-        params["embed_positions"], pos + _POS_OFFSET, 1, 0)[None]
+    if getattr(pos, "ndim", 0) == 1:
+        x = x + jnp.take(params["embed_positions"], pos + _POS_OFFSET,
+                         axis=0)[:, None]
+    else:
+        x = x + jax.lax.dynamic_slice_in_dim(
+            params["embed_positions"], pos + _POS_OFFSET, 1, 0)[None]
 
     def heads(t):
         return t.reshape(b, 1, cfg.n_head, dh).transpose(0, 2, 1, 3)
@@ -212,6 +255,35 @@ def _step(params, cfg: OPTConfig, tok, pos, cache_k, cache_v):
                         params["embed_tokens"].astype(x.dtype),
                         preferred_element_type=jnp.float32)
     return logits, cache_k, cache_v
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate_ragged(cfg: OPTConfig, prompt_pad: int,
+                              max_new_tokens: int, sampling_cfg=None):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
+    def fn(params, prompt, lens):
+        b = prompt.shape[0]
+        max_len = prompt_pad + max_new_tokens
+        return causal_lm.generate_tokens_ragged(
+            lambda p, t, l, ck, cv: _prefill_ragged(p, cfg, t, l, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
+            params, prompt, lens,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            max_new_tokens=max_new_tokens,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
+        )
+
+    return jax.jit(fn)
+
+
+def generate_ragged(params: dict, cfg: OPTConfig, prompt: jnp.ndarray,
+                    prompt_lens, max_new_tokens: int) -> jnp.ndarray:
+    """Variable-length batched generation (per-row input lengths) — see
+    models/gpt/model.py::generate_ragged."""
+    prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
+    return _compiled_generate_ragged(
+        cfg, prompt.shape[1], max_new_tokens)(params, prompt, prompt_lens)
 
 
 @functools.lru_cache(maxsize=16)
