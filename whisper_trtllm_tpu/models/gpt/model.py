@@ -144,9 +144,15 @@ def _prefill(params, cfg: GPTConfig, tokens, cache_k, cache_v):
 
 
 def _step(params, cfg: GPTConfig, tok, pos, cache_k, cache_v):
-    """Generation phase: one token for the whole batch."""
+    """Generation phase: one token for the whole batch. ``pos`` is a scalar
+    (lockstep) or a (B,) vector (ragged/in-flight per-lane positions — the
+    ibGptAttentionPlugin per-request-length analog, reference:
+    cpp/tensorrt_llm/plugins/ibGptAttentionPlugin/)."""
     x = embedding(params["wte"], tok[:, None])
-    x = x + jax.lax.dynamic_slice_in_dim(params["wpe"], pos, 1, 0)[None]
+    if getattr(pos, "ndim", 0) == 1:
+        x = x + jnp.take(params["wpe"], pos, axis=0)[:, None]
+    else:
+        x = x + jax.lax.dynamic_slice_in_dim(params["wpe"], pos, 1, 0)[None]
     b = tok.shape[0]
 
     def body(x, xs):
@@ -204,41 +210,6 @@ def _prefill_ragged(params, cfg: GPTConfig, tokens, lens, cache_k, cache_v):
     return logits, cache_k, cache_v
 
 
-def _step_ragged(params, cfg: GPTConfig, tok, pos, cache_k, cache_v):
-    """Generation phase with per-lane positions (B,): per-lane positional
-    embedding, per-lane cache write offsets and valid lengths (the
-    ibGptAttentionPlugin per-request-length analog, reference:
-    cpp/tensorrt_llm/plugins/ibGptAttentionPlugin/)."""
-    x = embedding(params["wte"], tok[:, None])
-    x = x + jnp.take(params["wpe"], pos, axis=0)[:, None]
-    b = tok.shape[0]
-
-    def body(x, xs):
-        lp, ck, cv = xs
-        h = layer_norm(lp["ln_1"], x, cfg.layer_norm_eps)
-        qkv = dense(lp["attn_qkv"], h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(t):
-            return t.reshape(b, 1, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
-
-        q = heads(q) * cfg.head_dim ** -0.5
-        ck, cv = update_kv_cache(ck, cv, heads(k), heads(v), pos)
-        a = mha_decode_step(q, ck, cv, pos + 1)
-        a = a.transpose(0, 2, 1, 3).reshape(b, 1, cfg.d_model)
-        x = x + dense(lp["attn_out"], a)
-        x = x + _mlp(lp, x, cfg)
-        return x, (ck, cv)
-
-    x, (cache_k, cache_v) = jax.lax.scan(
-        body, x, (params["layers"], cache_k, cache_v)
-    )
-    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
-    logits = jnp.einsum("bd,vd->bv", x[:, 0], params["wte"].astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-    return logits, cache_k, cache_v
-
-
 @functools.lru_cache(maxsize=16)
 def _compiled_generate_ragged(cfg: GPTConfig, prompt_pad: int,
                               max_new_tokens: int, sampling_cfg=None):
@@ -249,7 +220,7 @@ def _compiled_generate_ragged(cfg: GPTConfig, prompt_pad: int,
         max_len = prompt_pad + max_new_tokens
         return causal_lm.generate_tokens_ragged(
             lambda p, t, l, ck, cv: _prefill_ragged(p, cfg, t, l, ck, cv),
-            lambda p, tok, pos, ck, cv: _step_ragged(p, cfg, tok, pos, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
             params, prompt, lens,
             cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
             max_new_tokens=max_new_tokens,
