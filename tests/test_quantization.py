@@ -306,3 +306,24 @@ class TestVocabQuantization:
         tokens, lengths = sess.transcribe_features(mel)
         assert tokens.shape[0] == 2
         assert np.asarray(lengths).min() >= 1
+
+
+def test_weight_only_quantize_covers_llama(rng):
+    """The tree rewriter must hit every LLaMA projection (o/gate/up/down
+    included) — the reference's weight_only_quantize covers all family
+    linears (reference: tensorrt_llm/models/quantized/quant.py:51)."""
+    import jax.numpy as jnp
+
+    from whisper_trtllm_tpu.models.llama import LlamaConfig, forward, init_params
+    from whisper_trtllm_tpu.quantization.quantize import weight_only_quantize
+
+    cfg = LlamaConfig.testing()
+    params = init_params(cfg, seed=0)
+    qp = weight_only_quantize(params)
+    for key in ("q", "k", "v", "o", "gate", "up", "down"):
+        assert "kernel_q" in qp["layers"][key], key
+    tokens = rng.integers(3, cfg.vocab_size, (2, 6)).astype(np.int32)
+    ref = np.asarray(forward(params, cfg, tokens))
+    got = np.asarray(forward(qp, cfg, tokens))
+    # int8 per-channel weight quantization: logits close, argmax mostly equal
+    assert np.mean(np.argmax(ref, -1) == np.argmax(got, -1)) > 0.8

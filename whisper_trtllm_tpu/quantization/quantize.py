@@ -56,6 +56,7 @@ def quantize_dense_params(p: dict) -> dict:
 _DENSE_KEYS = frozenset({
     "q", "k", "v", "out", "qkv", "fc1", "fc2",    # whisper layers
     "attn_qkv", "attn_out", "fc_in", "fc_out",    # gpt/bert layers
+    "o", "gate", "up", "down",                    # llama layers
     "pooler",
 })
 
