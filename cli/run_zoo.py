@@ -117,12 +117,14 @@ def main(argv=None):
         raise SystemExit("need --prompt-ids, or --prompt with a tokenizer "
                          "(--hf-model dir containing tokenizer files)")
 
-    kwargs = {}
-    if args.sample or args.temperature != 1.0 or args.top_k or args.top_p:
-        kwargs = dict(temperature=args.temperature, top_k=args.top_k,
-                      top_p=args.top_p,
-                      repetition_penalty=args.repetition_penalty,
-                      seed=args.seed)
+    # pass every knob through; make_sampling_cfg inside generate() decides
+    # whether a PRNG enters the graph (--sample alone = temperature-1
+    # multinomial; --repetition-penalty alone = deterministic penalized
+    # greedy, HF do_sample=False semantics)
+    kwargs = dict(temperature=args.temperature, top_k=args.top_k,
+                  top_p=args.top_p,
+                  repetition_penalty=args.repetition_penalty,
+                  seed=args.seed, do_sample=args.sample)
     out = np.asarray(
         generate(params, cfg, ids, max_new_tokens=args.max_new_tokens,
                  **kwargs))

@@ -63,3 +63,17 @@ def test_ifb_lm_lane_reuse_and_more_requests_than_lanes(rng):
     assert all(o is not None for o in outs)
     for o in outs[1:]:
         np.testing.assert_array_equal(o, outs[0])
+
+
+def test_ifb_lm_respects_max_new_tokens(rng):
+    """A short prompt must stop after max_new_tokens generated tokens, not
+    run to the shared buffer end (per-request cap, like the reference's
+    per-request max_new_tokens in the batch manager)."""
+    cfg = GPTConfig.testing(eos_token_id=-1)   # never hits EOS
+    params = init_params(cfg, seed=0)
+    max_new = 4
+    b = _make_batcher(params, cfg, num_lanes=2, max_new=max_new)
+    rid = b.submit(rng.integers(3, cfg.vocab_size, (2,)).astype(np.int32))
+    b.run()
+    out = b.fetch(rid)
+    assert out.size == 2 + max_new, out

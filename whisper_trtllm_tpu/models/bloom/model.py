@@ -104,10 +104,12 @@ def forward(params: dict, cfg: BloomConfig, tokens: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _prefill(params, cfg: BloomConfig, tokens, cache_k, cache_v):
-    """Context phase: run the whole prompt once, writing K/V into the static
-    caches (the reference's gptAttentionPlugin context phase with alibi,
-    reference: tensorrt_llm/layers/attention.py)."""
+def _prefill_hidden(params, cfg: BloomConfig, tokens, cache_k, cache_v):
+    """Context phase with cache write and ALiBi bias (the reference's
+    gptAttentionPlugin context phase with alibi, reference:
+    tensorrt_llm/layers/attention.py); returns final hidden states (B, S, d)
+    — shared by the lockstep prefill (projects [:, -1]) and the ragged
+    prefill (gathers each row's last valid position first)."""
     b, s = tokens.shape
     dh = cfg.head_dim
     x = embedding(params["word_embeddings"], tokens)
@@ -135,54 +137,29 @@ def _prefill(params, cfg: BloomConfig, tokens, cache_k, cache_v):
     x, (cache_k, cache_v) = jax.lax.scan(
         body, x, (params["layers"], cache_k, cache_v)
     )
-    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
-    logits = jnp.einsum(
-        "bd,vd->bv", x[:, -1], params["word_embeddings"].astype(x.dtype),
+    return layer_norm(params["ln_f"], x, cfg.layer_norm_eps), cache_k, cache_v
+
+
+def _vocab_logits(params, x):
+    return jnp.einsum(
+        "bd,vd->bv", x, params["word_embeddings"].astype(x.dtype),
         preferred_element_type=jnp.float32,
     )
-    return logits, cache_k, cache_v
+
+
+def _prefill(params, cfg: BloomConfig, tokens, cache_k, cache_v):
+    x, cache_k, cache_v = _prefill_hidden(params, cfg, tokens, cache_k, cache_v)
+    return _vocab_logits(params, x[:, -1]), cache_k, cache_v
 
 
 def _prefill_ragged(params, cfg: BloomConfig, tokens, lens, cache_k, cache_v):
-    """Ragged context phase: same graph as _prefill, hidden state gathered
-    at each row's own last valid position before the vocab head (reference:
-    tensorrt_llm/functional.py:3316 gather_last_token_logits)."""
+    """Ragged context phase: logits at each row's own last valid position
+    (reference: tensorrt_llm/functional.py:3316 gather_last_token_logits)."""
     from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
 
-    b, s = tokens.shape
-    dh = cfg.head_dim
-    x = embedding(params["word_embeddings"], tokens)
-    x = layer_norm(params["embed_ln"], x, cfg.layer_norm_eps)
-    bias = alibi_bias(cfg.n_head, s)
-
-    def heads(t):
-        return t.reshape(b, s, cfg.n_head, dh).transpose(0, 2, 1, 3)
-
-    def body(x, xs):
-        lp, ck, cv = xs
-        h = layer_norm(lp["input_ln"], x, cfg.layer_norm_eps)
-        q = heads(dense(lp["q"], h)) * dh ** -0.5
-        k = heads(dense(lp["k"], h))
-        v = heads(dense(lp["v"], h))
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
-        a = mha(q, k, v, mask=bias, causal=True)
-        a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
-        x = x + dense(lp["attn_out"], a)
-        h = layer_norm(lp["post_ln"], x, cfg.layer_norm_eps)
-        x = x + dense(lp["fc_out"], gelu(dense(lp["fc_in"], h)))
-        return x, (ck, cv)
-
-    x, (cache_k, cache_v) = jax.lax.scan(
-        body, x, (params["layers"], cache_k, cache_v)
-    )
-    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
-    last = gather_last_token_logits(x, lens)
-    logits = jnp.einsum(
-        "bd,vd->bv", last, params["word_embeddings"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )
-    return logits, cache_k, cache_v
+    x, cache_k, cache_v = _prefill_hidden(params, cfg, tokens, cache_k, cache_v)
+    return _vocab_logits(params, gather_last_token_logits(x, lens)), \
+        cache_k, cache_v
 
 
 def _step(params, cfg: BloomConfig, tok, pos, cache_k, cache_v):
@@ -246,12 +223,19 @@ def _compiled_generate_ragged(cfg: BloomConfig, prompt_pad: int,
 
 
 def generate_ragged(params: dict, cfg: BloomConfig, prompt: jnp.ndarray,
-                    prompt_lens, max_new_tokens: int) -> jnp.ndarray:
+                    prompt_lens, max_new_tokens: int,
+                    temperature: float = 1.0, top_k: int = 0,
+                    top_p: float = 0.0, repetition_penalty: float = 1.0,
+                    seed: int = 0, do_sample: bool = False) -> jnp.ndarray:
     """Variable-length batched generation (per-row input lengths) — see
     models/gpt/model.py::generate_ragged."""
+    from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
+
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
+                           seed, do_sample)
     prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
     return _compiled_generate_ragged(
-        cfg, prompt.shape[1], max_new_tokens)(params, prompt, prompt_lens)
+        cfg, prompt.shape[1], max_new_tokens, sc)(params, prompt, prompt_lens)
 
 
 @functools.lru_cache(maxsize=16)
@@ -276,7 +260,7 @@ def _compiled_generate(cfg: BloomConfig, prompt_len: int, max_len: int,
 def generate(params: dict, cfg: BloomConfig, prompt: jnp.ndarray,
              max_new_tokens: int, temperature: float = 1.0, top_k: int = 0,
              top_p: float = 0.0, repetition_penalty: float = 1.0,
-             seed: int = 0) -> jnp.ndarray:
+             seed: int = 0, do_sample: bool = False) -> jnp.ndarray:
     """Cached generation via the shared causal-LM loop (the reference runs
     Bloom through the same GenerationSession as GPT, reference:
     examples/bloom/run.py → tensorrt_llm/runtime/generation.py:151)."""
@@ -284,7 +268,8 @@ def generate(params: dict, cfg: BloomConfig, prompt: jnp.ndarray,
 
     prompt_len = prompt.shape[1]
     max_len = prompt_len + max_new_tokens
-    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty, seed)
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
+                           seed, do_sample)
     return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)
 
 

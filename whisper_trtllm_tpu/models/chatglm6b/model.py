@@ -311,7 +311,8 @@ def _compiled_generate(cfg: ChatGLM6BConfig, prompt_len: int, max_len: int,
 def generate(params: dict, cfg: ChatGLM6BConfig, prompt: jnp.ndarray,
              max_new_tokens: int, mask_pos: int | None = None,
              temperature: float = 1.0, top_k: int = 0, top_p: float = 0.0,
-             repetition_penalty: float = 1.0, seed: int = 0) -> jnp.ndarray:
+             repetition_penalty: float = 1.0, seed: int = 0,
+             do_sample: bool = False) -> jnp.ndarray:
     """Cached GLM generation — the analog of the reference's dedicated
     ChatGLM6BHeadModelGenerationSession (reference:
     tensorrt_llm/runtime/generation.py:1000), which exists exactly because
@@ -324,7 +325,8 @@ def generate(params: dict, cfg: ChatGLM6BConfig, prompt: jnp.ndarray,
     if mask_pos is None:
         mask_pos = prompt_len - 2
     max_len = min(cfg.max_positions, prompt_len + max_new_tokens)
-    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty, seed)
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
+                           seed, do_sample)
     return _compiled_generate(cfg, prompt_len, max_len, int(mask_pos), sc)(
         params, prompt)
 

@@ -118,9 +118,11 @@ def forward(params: dict, cfg: GPTConfig, tokens: jnp.ndarray,
                       preferred_element_type=jnp.float32)
 
 
-def _prefill(params, cfg: GPTConfig, tokens, cache_k, cache_v):
+def _prefill_hidden(params, cfg: GPTConfig, tokens, cache_k, cache_v):
     """Context phase: run the whole prompt once, writing K/V into the static
-    cache (the gptAttentionPlugin context phase)."""
+    cache (the gptAttentionPlugin context phase). Returns final hidden
+    states (B, S, d) — shared by the lockstep prefill (projects [:, -1]) and
+    the ragged prefill (gathers each row's last valid position first)."""
     b, s = tokens.shape
     x = embedding(params["wte"], tokens)
     x = x + params["wpe"][:s][None]
@@ -137,10 +139,17 @@ def _prefill(params, cfg: GPTConfig, tokens, cache_k, cache_v):
     x, (cache_k, cache_v) = jax.lax.scan(
         body, x, (params["layers"], cache_k, cache_v)
     )
-    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
-    logits = jnp.einsum("bd,vd->bv", x[:, -1], params["wte"].astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-    return logits, cache_k, cache_v
+    return layer_norm(params["ln_f"], x, cfg.layer_norm_eps), cache_k, cache_v
+
+
+def _vocab_logits(params, x):
+    return jnp.einsum("bd,vd->bv", x, params["wte"].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def _prefill(params, cfg: GPTConfig, tokens, cache_k, cache_v):
+    x, cache_k, cache_v = _prefill_hidden(params, cfg, tokens, cache_k, cache_v)
+    return _vocab_logits(params, x[:, -1]), cache_k, cache_v
 
 
 def _step(params, cfg: GPTConfig, tok, pos, cache_k, cache_v):
@@ -187,27 +196,9 @@ def _prefill_ragged(params, cfg: GPTConfig, tokens, lens, cache_k, cache_v):
     (reference: tensorrt_llm/functional.py:3316 gather_last_token_logits)."""
     from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
 
-    b, s = tokens.shape
-    x = embedding(params["wte"], tokens)
-    x = x + params["wpe"][:s][None]
-
-    def body(x, xs):
-        lp, ck, cv = xs
-        a, k, v = _attention(lp, x, cfg, causal=True)
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
-        x = x + a
-        x = x + _mlp(lp, x, cfg)
-        return x, (ck, cv)
-
-    x, (cache_k, cache_v) = jax.lax.scan(
-        body, x, (params["layers"], cache_k, cache_v)
-    )
-    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
-    last = gather_last_token_logits(x, lens)            # (B, d)
-    logits = jnp.einsum("bd,vd->bv", last, params["wte"].astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-    return logits, cache_k, cache_v
+    x, cache_k, cache_v = _prefill_hidden(params, cfg, tokens, cache_k, cache_v)
+    return _vocab_logits(params, gather_last_token_logits(x, lens)), \
+        cache_k, cache_v
 
 
 @functools.lru_cache(maxsize=16)
@@ -231,15 +222,22 @@ def _compiled_generate_ragged(cfg: GPTConfig, prompt_pad: int,
 
 
 def generate_ragged(params: dict, cfg: GPTConfig, prompt: jnp.ndarray,
-                    prompt_lens, max_new_tokens: int) -> jnp.ndarray:
+                    prompt_lens, max_new_tokens: int,
+                    temperature: float = 1.0, top_k: int = 0,
+                    top_p: float = 0.0, repetition_penalty: float = 1.0,
+                    seed: int = 0, do_sample: bool = False) -> jnp.ndarray:
     """Batched generation over variable-length (right-padded) prompts —
     the reference's GenerationSession.decode(input_ids, input_lengths, ...)
     capability (reference: tensorrt_llm/runtime/generation.py:782). Each row
     generates from its own last prompt token; rows are exactly what
     independent per-row generate() calls would produce."""
+    from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
+
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
+                           seed, do_sample)
     prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
     return _compiled_generate_ragged(
-        cfg, prompt.shape[1], max_new_tokens)(params, prompt, prompt_lens)
+        cfg, prompt.shape[1], max_new_tokens, sc)(params, prompt, prompt_lens)
 
 
 @functools.lru_cache(maxsize=16)
@@ -264,7 +262,7 @@ def _compiled_generate(cfg: GPTConfig, prompt_len: int, max_len: int,
 def generate(params: dict, cfg: GPTConfig, prompt: jnp.ndarray,
              max_new_tokens: int, temperature: float = 1.0, top_k: int = 0,
              top_p: float = 0.0, repetition_penalty: float = 1.0,
-             seed: int = 0) -> jnp.ndarray:
+             seed: int = 0, do_sample: bool = False) -> jnp.ndarray:
     """Generation: prompt (B, P) → tokens (B, P + max_new_tokens). Greedy by
     default; sampling knobs mirror the reference's DynamicDecodeLayer
     (reference: cpp/tensorrt_llm/layers/dynamicDecodeLayer.h:37-128). The
@@ -273,7 +271,8 @@ def generate(params: dict, cfg: GPTConfig, prompt: jnp.ndarray,
     max_len = min(cfg.n_positions, prompt_len + max_new_tokens)
     from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
 
-    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty, seed)
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
+                           seed, do_sample)
     return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)
 
 

@@ -190,7 +190,10 @@ def _block(lp, cfg: GPTJConfig, x, sin, cos, attend):
     return x + dense(lp["attn_out"], a) + ffn
 
 
-def _prefill(params, cfg: GPTJConfig, tokens, cache_k, cache_v):
+def _prefill_hidden(params, cfg: GPTJConfig, tokens, cache_k, cache_v):
+    """Context phase with cache write; returns final hidden states (B, S, d)
+    — shared by the lockstep prefill (projects [:, -1]) and the ragged
+    prefill (gathers each row's last valid position first)."""
     from whisper_trtllm_tpu.ops.attention import mha as _mha
 
     s = tokens.shape[1]
@@ -212,41 +215,24 @@ def _prefill(params, cfg: GPTJConfig, tokens, cache_k, cache_v):
         return x, (ck, cv)
 
     x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
-    x = layer_norm(params["ln_f"], x)
-    logits = dense(params["lm_head"], x[:, -1]).astype(jnp.float32)
-    return logits, cache_k, cache_v
+    return layer_norm(params["ln_f"], x), cache_k, cache_v
+
+
+def _prefill(params, cfg: GPTJConfig, tokens, cache_k, cache_v):
+    x, cache_k, cache_v = _prefill_hidden(params, cfg, tokens, cache_k, cache_v)
+    return dense(params["lm_head"], x[:, -1]).astype(jnp.float32), \
+        cache_k, cache_v
 
 
 def _prefill_ragged(params, cfg: GPTJConfig, tokens, lens, cache_k, cache_v):
-    """Ragged context phase: same graph as _prefill, hidden state gathered
-    at each row's own last valid position before the vocab head (reference:
-    tensorrt_llm/functional.py:3316 gather_last_token_logits)."""
-    from whisper_trtllm_tpu.ops.attention import mha as _mha
+    """Ragged context phase: logits at each row's own last valid position
+    (reference: tensorrt_llm/functional.py:3316 gather_last_token_logits)."""
     from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
 
-    s = tokens.shape[1]
-    x = embedding(params["wte"], tokens)
-    sin, cos = rope_interleaved_sin_cos(cfg.rotary_dim, jnp.arange(s))
-
-    def body(x, xs):
-        lp, ck, cv = xs
-        holder = {}
-
-        def attend(q, k, v):
-            holder["kv"] = (k, v)
-            return _mha(q, k, v, causal=True)
-
-        x = _block(lp, cfg, x, sin, cos, attend)
-        k, v = holder["kv"]
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
-        return x, (ck, cv)
-
-    x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
-    x = layer_norm(params["ln_f"], x)
+    x, cache_k, cache_v = _prefill_hidden(params, cfg, tokens, cache_k, cache_v)
     last = gather_last_token_logits(x, lens)
-    logits = dense(params["lm_head"], last).astype(jnp.float32)
-    return logits, cache_k, cache_v
+    return dense(params["lm_head"], last).astype(jnp.float32), \
+        cache_k, cache_v
 
 
 def _step(params, cfg: GPTJConfig, tok, pos, cache_k, cache_v):
@@ -298,12 +284,19 @@ def _compiled_generate_ragged(cfg: GPTJConfig, prompt_pad: int,
 
 
 def generate_ragged(params: dict, cfg: GPTJConfig, prompt: jnp.ndarray,
-                    prompt_lens, max_new_tokens: int) -> jnp.ndarray:
+                    prompt_lens, max_new_tokens: int,
+                    temperature: float = 1.0, top_k: int = 0,
+                    top_p: float = 0.0, repetition_penalty: float = 1.0,
+                    seed: int = 0, do_sample: bool = False) -> jnp.ndarray:
     """Variable-length batched generation (per-row input lengths) — see
     models/gpt/model.py::generate_ragged."""
+    from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
+
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
+                           seed, do_sample)
     prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
     return _compiled_generate_ragged(
-        cfg, prompt.shape[1], max_new_tokens)(params, prompt, prompt_lens)
+        cfg, prompt.shape[1], max_new_tokens, sc)(params, prompt, prompt_lens)
 
 
 @functools.lru_cache(maxsize=16)
@@ -328,11 +321,12 @@ def _compiled_generate(cfg: GPTJConfig, prompt_len: int, max_len: int,
 def generate(params: dict, cfg: GPTJConfig, prompt: jnp.ndarray,
              max_new_tokens: int, temperature: float = 1.0, top_k: int = 0,
              top_p: float = 0.0, repetition_penalty: float = 1.0,
-             seed: int = 0) -> jnp.ndarray:
+             seed: int = 0, do_sample: bool = False) -> jnp.ndarray:
     """KV-cached generation through the shared causal-LM runtime."""
     from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
 
     prompt_len = prompt.shape[1]
     max_len = min(cfg.max_positions, prompt_len + max_new_tokens)
-    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty, seed)
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
+                           seed, do_sample)
     return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)

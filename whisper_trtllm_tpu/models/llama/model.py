@@ -152,10 +152,17 @@ def forward(params: dict, cfg: LlamaConfig, tokens: jnp.ndarray) -> jnp.ndarray:
 
 
 def _step(params, cfg: LlamaConfig, tok, pos, cache_k, cache_v):
+    """Generation phase. ``pos`` is a scalar (lockstep) or a (B,) vector
+    (ragged/in-flight per-lane positions — per-lane RoPE angles, cache write
+    offsets and valid lengths)."""
     b = tok.shape[0]
     dh = cfg.head_dim
     x = embedding(params["embed_tokens"], tok[:, None])
-    sin, cos = rope_sin_cos(cfg, pos[None].astype(jnp.float32))
+    if getattr(pos, "ndim", 0) == 1:
+        sin, cos = rope_sin_cos(cfg, pos)                    # (B, dh)
+        sin, cos = sin[:, None, None], cos[:, None, None]    # (B, 1, 1, dh)
+    else:
+        sin, cos = rope_sin_cos(cfg, pos[None].astype(jnp.float32))
 
     def body(x, xs):
         lp, ck, cv = xs
@@ -234,42 +241,6 @@ def _prefill_hidden(params, cfg: LlamaConfig, tokens, cache_k, cache_v):
     return rms_norm(params["norm"], x, cfg.rms_eps), cache_k, cache_v
 
 
-def _step_ragged(params, cfg: LlamaConfig, tok, pos, cache_k, cache_v):
-    """Generation phase with per-lane positions (B,): per-lane RoPE angles,
-    cache write offsets, and valid lengths."""
-    b = tok.shape[0]
-    dh = cfg.head_dim
-    x = embedding(params["embed_tokens"], tok[:, None])
-    sin, cos = rope_sin_cos(cfg, pos)                    # (B, dh)
-    sin, cos = sin[:, None, None], cos[:, None, None]    # (B, 1, 1, dh)
-
-    def body(x, xs):
-        lp, ck, cv = xs
-        h = rms_norm(lp["input_norm"], x, cfg.rms_eps)
-        q = apply_rope(_split(dense(lp["q"], h), cfg.n_head, dh), sin, cos)
-        k = apply_rope(_split(dense(lp["k"], h), cfg.n_kv_head, dh), sin, cos)
-        v = _split(dense(lp["v"], h), cfg.n_kv_head, dh)
-        ck, cv = update_kv_cache(ck, cv, k, v, pos)
-        rep = cfg.n_head // cfg.n_kv_head
-        a = mha_decode_step(
-            q * dh ** -0.5,
-            jnp.repeat(ck, rep, axis=1) if rep > 1 else ck,
-            jnp.repeat(cv, rep, axis=1) if rep > 1 else cv,
-            pos + 1,
-        )
-        a = a.transpose(0, 2, 1, 3).reshape(b, 1, cfg.d_model)
-        x = x + dense(lp["o"], a)
-        h = rms_norm(lp["post_norm"], x, cfg.rms_eps)
-        x = x + dense(lp["down"], jax.nn.silu(dense(lp["gate"], h)) * dense(lp["up"], h))
-        return x, (ck, cv)
-
-    x, (cache_k, cache_v) = jax.lax.scan(
-        body, x, (params["layers"], cache_k, cache_v)
-    )
-    x = rms_norm(params["norm"], x, cfg.rms_eps)
-    return _logits(params, cfg, x)[:, 0], cache_k, cache_v
-
-
 @functools.lru_cache(maxsize=8)
 def _compiled_generate_ragged(cfg: LlamaConfig, prompt_pad: int,
                               max_new_tokens: int, sampling_cfg=None):
@@ -280,7 +251,7 @@ def _compiled_generate_ragged(cfg: LlamaConfig, prompt_pad: int,
         max_len = prompt_pad + max_new_tokens
         return causal_lm.generate_tokens_ragged(
             lambda p, t, l, ck, cv: _prefill_ragged(p, cfg, t, l, ck, cv),
-            lambda p, tok, pos, ck, cv: _step_ragged(p, cfg, tok, pos, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
             params, prompt, lens,
             cache_shape=(cfg.n_layer, b, cfg.n_kv_head, max_len, cfg.head_dim),
             max_new_tokens=max_new_tokens,
@@ -291,12 +262,19 @@ def _compiled_generate_ragged(cfg: LlamaConfig, prompt_pad: int,
 
 
 def generate_ragged(params: dict, cfg: LlamaConfig, prompt: jnp.ndarray,
-                    prompt_lens, max_new_tokens: int) -> jnp.ndarray:
+                    prompt_lens, max_new_tokens: int,
+                    temperature: float = 1.0, top_k: int = 0,
+                    top_p: float = 0.0, repetition_penalty: float = 1.0,
+                    seed: int = 0, do_sample: bool = False) -> jnp.ndarray:
     """Variable-length batched generation (per-row input lengths) — see
     models/gpt/model.py::generate_ragged."""
+    from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
+
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
+                           seed, do_sample)
     prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
     return _compiled_generate_ragged(
-        cfg, prompt.shape[1], max_new_tokens)(params, prompt, prompt_lens)
+        cfg, prompt.shape[1], max_new_tokens, sc)(params, prompt, prompt_lens)
 
 
 @functools.lru_cache(maxsize=8)
@@ -321,7 +299,7 @@ def _compiled_generate(cfg: LlamaConfig, prompt_len: int, max_len: int,
 def generate(params: dict, cfg: LlamaConfig, prompt: jnp.ndarray,
              max_new_tokens: int, temperature: float = 1.0, top_k: int = 0,
              top_p: float = 0.0, repetition_penalty: float = 1.0,
-             seed: int = 0) -> jnp.ndarray:
+             seed: int = 0, do_sample: bool = False) -> jnp.ndarray:
     """KV-cached generation through the shared causal-LM runtime (fused
     context phase + one-token generation phase, the reference's
     GenerationSession pattern)."""
@@ -329,7 +307,8 @@ def generate(params: dict, cfg: LlamaConfig, prompt: jnp.ndarray,
 
     prompt_len = prompt.shape[1]
     max_len = min(cfg.max_positions, prompt_len + max_new_tokens)
-    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty, seed)
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
+                           seed, do_sample)
     return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)
 
 

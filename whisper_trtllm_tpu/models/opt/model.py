@@ -149,9 +149,10 @@ def convert_hf_opt(hf_model) -> Tuple[dict, OPTConfig]:
     return params, cfg
 
 
-def _prefill(params, cfg: OPTConfig, tokens, cache_k, cache_v):
-    """Context phase with cache write (the shared causal-LM runtime's
-    contract, runtime/causal_lm.py)."""
+def _prefill_hidden(params, cfg: OPTConfig, tokens, cache_k, cache_v):
+    """Context phase with cache write; returns final hidden states (B, S, d)
+    — shared by the lockstep prefill (projects [:, -1]) and the ragged
+    prefill (gathers each row's last valid position first)."""
     b, s = tokens.shape
     dh = cfg.head_dim
     x = embedding(params["embed_tokens"], tokens)
@@ -175,49 +176,29 @@ def _prefill(params, cfg: OPTConfig, tokens, cache_k, cache_v):
         return x, (ck, cv)
 
     x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
-    x = layer_norm(params["final_ln"], x)
-    logits = jnp.einsum("bd,vd->bv", x[:, -1],
-                        params["embed_tokens"].astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-    return logits, cache_k, cache_v
+    return layer_norm(params["final_ln"], x), cache_k, cache_v
+
+
+def _vocab_logits(params, x):
+    return jnp.einsum("bd,vd->bv", x, params["embed_tokens"].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def _prefill(params, cfg: OPTConfig, tokens, cache_k, cache_v):
+    """Context phase (the shared causal-LM runtime's contract,
+    runtime/causal_lm.py)."""
+    x, cache_k, cache_v = _prefill_hidden(params, cfg, tokens, cache_k, cache_v)
+    return _vocab_logits(params, x[:, -1]), cache_k, cache_v
 
 
 def _prefill_ragged(params, cfg: OPTConfig, tokens, lens, cache_k, cache_v):
-    """Ragged context phase: same graph as _prefill, but each row's hidden
-    state is gathered at its own last valid position before the vocab
-    projection (reference: tensorrt_llm/functional.py:3316
-    gather_last_token_logits)."""
+    """Ragged context phase: logits at each row's own last valid position
+    (reference: tensorrt_llm/functional.py:3316 gather_last_token_logits)."""
     from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
 
-    b, s = tokens.shape
-    dh = cfg.head_dim
-    x = embedding(params["embed_tokens"], tokens)
-    x = x + params["embed_positions"][_POS_OFFSET : _POS_OFFSET + s][None]
-
-    def heads(t):
-        return t.reshape(b, s, cfg.n_head, dh).transpose(0, 2, 1, 3)
-
-    def body(x, xs):
-        lp, ck, cv = xs
-        h = layer_norm(lp["attn_ln"], x)
-        q = heads(dense(lp["q"], h)) * dh ** -0.5
-        k, v = heads(dense(lp["k"], h)), heads(dense(lp["v"], h))
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
-        a = mha(q, k, v, causal=True)
-        x = x + dense(lp["attn_out"],
-                      a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model))
-        h = layer_norm(lp["ffn_ln"], x)
-        x = x + dense(lp["fc_out"], ACT2FN[cfg.activation](dense(lp["fc_in"], h)))
-        return x, (ck, cv)
-
-    x, (cache_k, cache_v) = jax.lax.scan(body, x, (params["layers"], cache_k, cache_v))
-    x = layer_norm(params["final_ln"], x)
-    last = gather_last_token_logits(x, lens)            # (B, d)
-    logits = jnp.einsum("bd,vd->bv", last,
-                        params["embed_tokens"].astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-    return logits, cache_k, cache_v
+    x, cache_k, cache_v = _prefill_hidden(params, cfg, tokens, cache_k, cache_v)
+    return _vocab_logits(params, gather_last_token_logits(x, lens)), \
+        cache_k, cache_v
 
 
 def _step(params, cfg: OPTConfig, tok, pos, cache_k, cache_v):
@@ -278,12 +259,19 @@ def _compiled_generate_ragged(cfg: OPTConfig, prompt_pad: int,
 
 
 def generate_ragged(params: dict, cfg: OPTConfig, prompt: jnp.ndarray,
-                    prompt_lens, max_new_tokens: int) -> jnp.ndarray:
+                    prompt_lens, max_new_tokens: int,
+                    temperature: float = 1.0, top_k: int = 0,
+                    top_p: float = 0.0, repetition_penalty: float = 1.0,
+                    seed: int = 0, do_sample: bool = False) -> jnp.ndarray:
     """Variable-length batched generation (per-row input lengths) — see
     models/gpt/model.py::generate_ragged."""
+    from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
+
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
+                           seed, do_sample)
     prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
     return _compiled_generate_ragged(
-        cfg, prompt.shape[1], max_new_tokens)(params, prompt, prompt_lens)
+        cfg, prompt.shape[1], max_new_tokens, sc)(params, prompt, prompt_lens)
 
 
 @functools.lru_cache(maxsize=16)
@@ -308,11 +296,12 @@ def _compiled_generate(cfg: OPTConfig, prompt_len: int, max_len: int,
 def generate(params: dict, cfg: OPTConfig, prompt: jnp.ndarray,
              max_new_tokens: int, temperature: float = 1.0, top_k: int = 0,
              top_p: float = 0.0, repetition_penalty: float = 1.0,
-             seed: int = 0) -> jnp.ndarray:
+             seed: int = 0, do_sample: bool = False) -> jnp.ndarray:
     """KV-cached generation through the shared causal-LM runtime."""
     from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
 
     prompt_len = prompt.shape[1]
     max_len = min(cfg.max_positions, prompt_len + max_new_tokens)
-    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty, seed)
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
+                           seed, do_sample)
     return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)

@@ -200,9 +200,8 @@ def gather_last_token_logits(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarra
     (analog of reference: tensorrt_llm/functional.py:3316
     gather_last_token_logits, the ragged-batch context-phase logits gather)."""
     idx = jnp.clip(lengths.astype(jnp.int32) - 1, 0, x.shape[1] - 1)
-    return jnp.take_along_axis(
-        x, idx[:, None, *([None] * (x.ndim - 2))], axis=1
-    ).squeeze(1)
+    idx = idx.reshape((idx.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.take_along_axis(x, idx, axis=1).squeeze(1)
 
 
 def mish(x: jnp.ndarray) -> jnp.ndarray:

@@ -59,10 +59,11 @@ def generate_tokens(
     def pick(key, logits, tokens, pos):
         if sc is None:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        t, k, p, rep, _ = sc
+        t, k, p, rep, _, do_sample = sc
         return smp.sample_token(
             key, logits, temperature=t, top_k=k, top_p=p,
             tokens=tokens, pos=pos, repetition_penalty=rep,
+            do_sample=do_sample,
         )
 
     cache_k = jnp.zeros(cache_shape, cache_dtype)
@@ -144,6 +145,9 @@ def generate_tokens_ragged(
     """
     from whisper_trtllm_tpu.runtime import sampling as smp
 
+    if max_new_tokens < 1:
+        raise ValueError("generate_tokens_ragged needs max_new_tokens >= 1 "
+                         "(the first-token write indexes column prompt_len)")
     sc = sampling_cfg
     b, p = prompt.shape
     max_len = p + max_new_tokens
@@ -152,10 +156,11 @@ def generate_tokens_ragged(
     def pick(key, logits, tokens, pos):
         if sc is None:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        t, k, pp, rep, _ = sc
+        t, k, pp, rep, _, do_sample = sc
         return smp.sample_token(
             key, logits, temperature=t, top_k=k, top_p=pp,
             tokens=tokens, pos=pos, repetition_penalty=rep,
+            do_sample=do_sample,
         )
 
     cache_k = jnp.zeros(cache_shape, cache_dtype)
@@ -199,9 +204,12 @@ def generate_tokens_ragged(
 
 def make_sampling_cfg(temperature: float = 1.0, top_k: int = 0,
                       top_p: float = 0.0, repetition_penalty: float = 1.0,
-                      seed: int = 0) -> Optional[tuple]:
-    """None when every knob is neutral (pure greedy, no PRNG in the graph)."""
-    if temperature != 1.0 or top_k > 0 or (0.0 < top_p < 1.0) \
+                      seed: int = 0, do_sample: bool = False) -> Optional[tuple]:
+    """None when every knob is neutral and sampling was not forced (pure
+    greedy, no PRNG in the graph). ``do_sample=True`` requests a categorical
+    draw even with neutral knobs (temperature-1 multinomial — the HF
+    do_sample flag)."""
+    if do_sample or temperature != 1.0 or top_k > 0 or (0.0 < top_p < 1.0) \
             or repetition_penalty != 1.0:
-        return (temperature, top_k, top_p, repetition_penalty, seed)
+        return (temperature, top_k, top_p, repetition_penalty, seed, do_sample)
     return None

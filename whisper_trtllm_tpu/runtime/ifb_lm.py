@@ -33,6 +33,7 @@ import numpy as np
 class LMLaneState(NamedTuple):
     tokens: jnp.ndarray     # (B, max_len)
     pos: jnp.ndarray        # (B,) index of last filled position
+    plen: jnp.ndarray       # (B,) prompt length of the lane's request
     active: jnp.ndarray     # (B,)
     finished: jnp.ndarray   # (B,)
     cache_k: jnp.ndarray    # (L, B, H, max_len, dh)
@@ -79,9 +80,11 @@ class CausalLMInflightBatcher:
         self._step = step
 
         shape = (n_layer, num_lanes, cache_heads, self.max_len, head_dim)
+        self.max_new_tokens = max_new_tokens
         self.state = LMLaneState(
             tokens=jnp.full((num_lanes, self.max_len), self.eos, jnp.int32),
             pos=jnp.zeros((num_lanes,), jnp.int32),
+            plen=jnp.zeros((num_lanes,), jnp.int32),
             active=jnp.zeros((num_lanes,), bool),
             finished=jnp.zeros((num_lanes,), bool),
             cache_k=jnp.zeros(shape, jnp.float32),
@@ -100,6 +103,7 @@ class CausalLMInflightBatcher:
         max_len, eos = self.max_len, self.eos
         n_lanes, seg = self.num_lanes, self.segment_steps
         p_max = self.max_prompt_len
+        max_new = self.max_new_tokens
         step = self._step
         prefill = self._prefill
         rows = jnp.arange(n_lanes)
@@ -123,11 +127,13 @@ class CausalLMInflightBatcher:
                 tokens = s.tokens.at[rows, nxt_pos].set(
                     jnp.where(live, nxt, existing))
                 hit_eos = live & (nxt == eos)
+                # per-request cap: tokens generated = nxt_pos - plen + 1
+                hit_cap = live & (nxt_pos - s.plen + 1 >= max_new)
                 hit_max = live & (nxt_pos >= max_len - 1)
-                finished = s.finished | hit_eos | hit_max
+                finished = s.finished | hit_eos | hit_cap | hit_max
                 pos = jnp.where(live, nxt_pos, s.pos)
-                return (LMLaneState(tokens, pos, s.active, finished, ck, cv),
-                        i + 1)
+                return (LMLaneState(tokens, pos, s.plen, s.active, finished,
+                                    ck, cv), i + 1)
 
             final, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
             return final
@@ -160,11 +166,13 @@ class CausalLMInflightBatcher:
             row = row.at[plen[0]].set(first_tok)
             tokens = jax.lax.dynamic_update_slice(
                 state.tokens, row[None], (lane, zero))
+            done0 = (first_tok == eos) | (max_new <= 1)
             return LMLaneState(
                 tokens,
                 state.pos.at[lane].set(plen[0]),
+                state.plen.at[lane].set(plen[0]),
                 state.active.at[lane].set(True),
-                state.finished.at[lane].set(first_tok == eos),
+                state.finished.at[lane].set(done0),
                 ck, cv,
             )
 

@@ -39,7 +39,8 @@ def apply_repetition_penalty(
     b, v = logits.shape
     max_len = tokens.shape[1]
     idx = jax.lax.broadcasted_iota(jnp.int32, (b, max_len), 1)
-    valid = idx <= pos
+    # pos: scalar (lockstep batch) or (B,) per-lane positions (ragged)
+    valid = idx <= (pos[:, None] if getattr(pos, "ndim", 0) == 1 else pos)
     onehot = jax.nn.one_hot(tokens, v, dtype=bool) & valid[..., None]
     seen = jnp.any(onehot, axis=1)                       # (B, V)
     pen = jnp.float32(penalty)
@@ -82,12 +83,18 @@ def sample_token(
     tokens: Optional[jnp.ndarray] = None,
     pos: Optional[jnp.ndarray] = None,
     repetition_penalty: float = 1.0,
+    do_sample: bool = False,
 ) -> jnp.ndarray:
     """Full sampling pipeline: penalties → temperature → top-k → top-p →
-    categorical draw. Greedy when no sampling knobs are set."""
+    categorical draw. Greedy when no sampling knobs are set and
+    ``do_sample`` is False (so repetition-penalty-only configs stay
+    deterministic, matching HF do_sample=False semantics); ``do_sample``
+    forces a categorical draw even with all-neutral knobs (plain
+    temperature-1 multinomial sampling)."""
     if tokens is not None and repetition_penalty != 1.0:
         logits = apply_repetition_penalty(logits, tokens, pos, repetition_penalty)
-    if temperature == 1.0 and top_k <= 0 and (top_p <= 0.0 or top_p >= 1.0):
+    if (not do_sample and temperature == 1.0 and top_k <= 0
+            and (top_p <= 0.0 or top_p >= 1.0)):
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = apply_temperature(logits, temperature)
     logits = top_k_filter(logits, top_k)
