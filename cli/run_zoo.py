@@ -120,7 +120,8 @@ def main(argv=None):
     # pass every knob through; make_sampling_cfg inside generate() decides
     # whether a PRNG enters the graph (--sample alone = temperature-1
     # multinomial; --repetition-penalty alone = deterministic penalized
-    # greedy, HF do_sample=False semantics)
+    # greedy; any other non-neutral knob implies sampling, the reference's
+    # SamplingConfig semantics)
     kwargs = dict(temperature=args.temperature, top_k=args.top_k,
                   top_p=args.top_p,
                   repetition_penalty=args.repetition_penalty,

@@ -47,12 +47,17 @@ def generate_tokens(
     cache_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Traced generation: prompt (B, P) → tokens (B, max_len), positions at
-    and after EOS hold eos_token_id. ``sampling_cfg`` is
-    (temperature, top_k, top_p, repetition_penalty, seed) or None for
-    greedy (the reference's SamplingConfig knobs,
-    tensorrt_llm/runtime/generation.py:120-138)."""
+    and after EOS hold eos_token_id. ``sampling_cfg`` is the 6-tuple
+    (temperature, top_k, top_p, repetition_penalty, seed, do_sample) built
+    by make_sampling_cfg, or None for greedy (the reference's SamplingConfig
+    knobs, tensorrt_llm/runtime/generation.py:120-138)."""
     from whisper_trtllm_tpu.runtime import sampling as smp
 
+    if max_len <= prompt_len:
+        raise ValueError(
+            f"max_len ({max_len}) must exceed prompt_len ({prompt_len}): the "
+            "prompt fills the context window, nothing can be generated "
+            "(an out-of-bounds first-token write would be silently dropped)")
     sc = sampling_cfg
     b = prompt.shape[0]
 

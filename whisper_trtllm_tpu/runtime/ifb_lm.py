@@ -69,6 +69,9 @@ class CausalLMInflightBatcher:
         max_new_tokens: int = 64,
         segment_steps: int = 32,
     ):
+        if max_new_tokens < 1:
+            raise ValueError("max_new_tokens must be >= 1 (the admit-time "
+                             "first-token write needs one slot per request)")
         self.params = params
         self.cfg = cfg
         self.eos = int(eos_token_id)

@@ -86,11 +86,12 @@ def sample_token(
     do_sample: bool = False,
 ) -> jnp.ndarray:
     """Full sampling pipeline: penalties → temperature → top-k → top-p →
-    categorical draw. Greedy when no sampling knobs are set and
-    ``do_sample`` is False (so repetition-penalty-only configs stay
-    deterministic, matching HF do_sample=False semantics); ``do_sample``
-    forces a categorical draw even with all-neutral knobs (plain
-    temperature-1 multinomial sampling)."""
+    categorical draw. Semantics follow the reference's SamplingConfig, not
+    HF's do_sample gate: any non-neutral knob (temperature/top_k/top_p)
+    implies a stochastic draw; repetition-penalty-only configs stay
+    deterministic (penalized greedy); ``do_sample=True`` forces a
+    categorical draw even with all-neutral knobs (plain temperature-1
+    multinomial)."""
     if tokens is not None and repetition_penalty != 1.0:
         logits = apply_repetition_penalty(logits, tokens, pos, repetition_penalty)
     if (not do_sample and temperature == 1.0 and top_k <= 0
