@@ -120,3 +120,58 @@ def test_beam_int8_kv_runs(hf_pair, rng):
     np.testing.assert_array_equal(
         np.asarray(tokens_q)[:, 0, :3], np.asarray(tokens_f)[:, 0, :3]
     )
+
+
+def test_beam_eos_candidates_never_continue(hf_pair, rng):
+    """An EOS candidate outside the top-K of the 2K expansion must be
+    dropped, never expanded (HF skips it from both pools) — exercised by a
+    wide beam over several batches so multiple parents propose EOS in the
+    same step."""
+    import torch
+
+    hf, params, cfg = hf_pair
+    mel = rng.standard_normal(
+        (3, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    max_new = cfg.max_target_positions - 2
+    with torch.no_grad():
+        theirs = hf.generate(
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            max_new_tokens=max_new, num_beams=6, do_sample=False,
+            length_penalty=1.0, early_stopping=True,
+        ).numpy()
+    enc = jax.jit(lambda p, m: encode(p, cfg, m))(params, mel)
+    tokens, _, lengths = beam_decode(
+        params, cfg, enc,
+        GenerationConfig(max_new_tokens=max_new, num_beams=6),
+    )
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+
+    def norm(seq):
+        seq = [t for t in np.asarray(seq).tolist()
+               if t not in (cfg.decoder_start_token_id, cfg.eos_token_id,
+                            cfg.pad_token_id)]
+        return seq
+
+    for b in range(3):
+        ours = tokens[b, 0, : lengths[b, 0]]
+        assert norm(ours) == norm(theirs[b]), (ours, theirs[b])
+    # no interior EOS in any returned hypothesis (the leak symptom)
+    for b in range(3):
+        for kk in range(6):
+            row = tokens[b, kk, : lengths[b, kk]]
+            interior = row[:-1] if len(row) else row
+            assert (interior != cfg.eos_token_id).all()
+
+
+def test_beam_early_stopping_false_rejected():
+    from whisper_trtllm_tpu.config import WhisperConfig
+    from whisper_trtllm_tpu.models.whisper import init_params
+
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    import jax.numpy as jnp
+
+    with pytest.raises(NotImplementedError, match="early_stopping"):
+        beam_decode(params, cfg, jnp.zeros((1, 8, cfg.d_model)),
+                    GenerationConfig(num_beams=2, early_stopping=False))

@@ -122,3 +122,17 @@ def test_greedy_with_timestamps_runs(rng):
     assert (tokens[:, 1] >= 40).all() and (tokens[:, 1] <= 45).all()
     # notimestamps token never appears
     assert not (tokens == 39).any()
+
+
+def test_forced_map_strips_notimestamps_when_timestamps_requested():
+    """HF removes the forced <|notimestamps|> id when return_timestamps=True
+    — conditioning on no-timestamps while forcing timestamp tokens would be
+    contradictory (the .en presets pin forced_decoder_ids=((1, 50362),))."""
+    from whisper_trtllm_tpu.config import WhisperConfig
+    from whisper_trtllm_tpu.runtime.logits_process import build_forced_map
+
+    cfg = WhisperConfig.tiny_en()
+    arr, begin = build_forced_map(cfg, 16)
+    assert arr[1] == cfg.no_timestamps_token_id and begin == 2
+    arr_ts, begin_ts = build_forced_map(cfg, 16, timestamps=True)
+    assert (arr_ts == -1).all() and begin_ts == 1

@@ -192,7 +192,8 @@ def encode(params: dict, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 def _decoder_layer_full(
-    lp: dict, x: jnp.ndarray, enc_states: jnp.ndarray, heads: int
+    lp: dict, x: jnp.ndarray, enc_states: jnp.ndarray, heads: int,
+    flash_cross: bool = False,
 ) -> jnp.ndarray:
     h = layer_norm(lp["self_attn_layer_norm"], x)
     q, k, v = attention_qkv(lp["self_attn"], h, None, heads)
@@ -201,7 +202,7 @@ def _decoder_layer_full(
 
     h = layer_norm(lp["encoder_attn_layer_norm"], x)
     q, k, v = attention_qkv(lp["encoder_attn"], h, enc_states, heads)
-    a = merge_heads(mha(q, k, v, causal=False))
+    a = merge_heads(mha(q, k, v, causal=False, use_flash=flash_cross))
     x = x + dense(lp["encoder_attn"]["out"], a)
 
     h = layer_norm(lp["final_layer_norm"], x)
@@ -214,8 +215,16 @@ def decode_full(
     cfg: WhisperConfig,
     tokens: jnp.ndarray,
     enc_states: jnp.ndarray,
+    flash_cross: bool = False,
 ) -> jnp.ndarray:
-    """Teacher-forced decoder forward: tokens (B, S) → logits (B, S, V)."""
+    """Teacher-forced decoder forward: tokens (B, S) → logits (B, S, V).
+
+    ``flash_cross`` controls the cross-attention lowering: False (default)
+    pins XLA so decode_full stays bitwise-equal to the cached decode_step
+    path on TPU (the CLAUDE.md invariant; mha_decode_step has no flash
+    variant — flash accumulates P@V in fp32, the step path in the compute
+    dtype). Training sets True to run the fused flash kernel with its
+    custom-VJP backward (training/train.py)."""
     dec = params["decoder"]
     s = tokens.shape[1]
     x = embedding(dec["embed_tokens"], tokens, dtype=enc_states.dtype)
@@ -224,7 +233,8 @@ def decode_full(
     heads = cfg.decoder_attention_heads
 
     def body(carry, lp):
-        return _decoder_layer_full(lp, carry, enc_states, heads), None
+        return _decoder_layer_full(lp, carry, enc_states, heads,
+                                   flash_cross), None
 
     x, _ = jax.lax.scan(body, x, dec["layers"])
     x = layer_norm(dec["layer_norm"], x)
@@ -234,6 +244,16 @@ def decode_full(
 # --------------------------------------------------------------------------
 # decoder — incremental decode with static caches
 # --------------------------------------------------------------------------
+
+def cross_attention_q(lp: dict, h: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """Cross-attention query projection + the (d/heads)**-0.5 scale the
+    cached decode paths share (the full-sequence path gets the same scale
+    from layers.transformer.attention_qkv — one convention, two entry
+    points)."""
+    d = h.shape[-1]
+    return split_heads(
+        dense(lp["encoder_attn"]["q"], h) * (d // heads) ** -0.5, heads)
+
 
 def compute_cross_kv(
     params: dict, cfg: WhisperConfig, enc_states: jnp.ndarray
@@ -356,7 +376,7 @@ def decode_step_kv(
         # masks out any alignment padding in the cache
         h = layer_norm(lp["encoder_attn_layer_norm"], x)
         d = x.shape[-1]
-        qc = split_heads(dense(lp["encoder_attn"]["q"], h) * (d // heads) ** -0.5, heads)
+        qc = cross_attention_q(lp, h, heads)
         enc_len = jnp.int32(cfg.max_source_positions)
         if int8_cross:
             a = mha_decode_step(qc, c[0], c[2], enc_len, k_scale=c[1], v_scale=c[3])
@@ -434,7 +454,7 @@ def decode_step_ragged(
 
         h = layer_norm(lp["encoder_attn_layer_norm"], x)
         d = x.shape[-1]
-        qc = split_heads(dense(lp["encoder_attn"]["q"], h) * (d // heads) ** -0.5, heads)
+        qc = cross_attention_q(lp, h, heads)
         a = merge_heads(
             mha_decode_step(qc, ck, cv, jnp.int32(cfg.max_source_positions))
         )
@@ -497,7 +517,7 @@ def decode_chunk(
 
         h = layer_norm(lp["encoder_attn_layer_norm"], x)
         d = x.shape[-1]
-        qc = split_heads(dense(lp["encoder_attn"]["q"], h) * (d // heads) ** -0.5, heads)
+        qc = cross_attention_q(lp, h, heads)
         tc = ck.shape[2]
         ccol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, tc), 3)
         cmask = jnp.where(ccol < cfg.max_source_positions, 0.0, -1e9).astype(jnp.float32)

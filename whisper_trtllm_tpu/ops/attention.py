@@ -40,6 +40,7 @@ def mha(
     mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
     fp32_softmax: bool = True,
+    use_flash: bool = True,
 ) -> jnp.ndarray:
     """Full-sequence attention. q: (B, H, S, dh); k, v: (B, Hkv, T, dh).
 
@@ -50,12 +51,15 @@ def mha(
 
     On the TPU backend the bidirectional unmasked case dispatches to the
     fused Pallas flash kernel (1.5x the XLA lowering at Whisper encoder
-    shapes; kill switch WHISPER_TPU_DISABLE_PALLAS=1).
+    shapes; kill switch WHISPER_TPU_DISABLE_PALLAS=1). ``use_flash=False``
+    pins the XLA lowering for callers that need bitwise parity with the
+    decode-step path (mha_decode_step has no flash variant).
     """
     b, h, s, dh = q.shape
     hkv = k.shape[1]
     if (
-        not causal
+        use_flash
+        and not causal
         and mask is None
         and hkv == h
         and s > 1

@@ -71,11 +71,14 @@ def _beam_decode_impl(
     dtype = enc_states.dtype
     vocab = cfg.vocab_size
 
-    # tile encoder states beam-major: (B, ...) -> (B*K, ...) — the analog of
-    # the reference's _tile_beam_width (reference:
-    # tensorrt_llm/runtime/generation.py:30,898-915), done once at setup
-    enc_tiled = jnp.repeat(enc_states, k, axis=0)
-    cross_k, cross_v = wmodel.compute_cross_kv(params, cfg, enc_tiled)
+    # compute cross-KV once per utterance, then tile beam-major
+    # (B, ...) -> (B*K, ...) — the analog of the reference's
+    # _tile_beam_width (reference: tensorrt_llm/runtime/generation.py:30,
+    # 898-915). Tiling *after* the projection avoids running the per-layer
+    # K/V projections K times over identical encoder states.
+    cross_k, cross_v = wmodel.compute_cross_kv(params, cfg, enc_states)
+    cross_k = jnp.repeat(cross_k, k, axis=1)          # (L, B*K, H, Tc, dh)
+    cross_v = jnp.repeat(cross_v, k, axis=1)
     if kv_int8:
         cross_kv = wmodel.quantize_cross_kv(cross_k, cross_v)
         self_kv = wmodel.init_self_kv_int8(cfg, batch * k, max_len)
@@ -146,10 +149,15 @@ def _beam_decode_impl(
         # ~NEG_INF, which length-penalty division would otherwise drag above
         # the done threshold.
         in_top_k = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * k), 1) < k
-        is_eos = (tok_ids == cfg.eos_token_id) & in_top_k & (topv > NEG_INF / 2)
+        is_eos_tok = tok_ids == cfg.eos_token_id
+        is_eos = is_eos_tok & in_top_k & (topv > NEG_INF / 2)
 
         # ---- alive set: best K non-EOS candidates ----
-        alive_cand = jnp.where(is_eos, NEG_INF, topv)
+        # EOS candidates never continue decoding, regardless of rank: an EOS
+        # ranked >= K is dropped entirely (HF skips it from both pools), not
+        # expanded — masking only `is_eos` here would let it leak into the
+        # alive set and condition the decoder on EOS.
+        alive_cand = jnp.where(is_eos_tok, NEG_INF, topv)
         _, alive_sel = jax.lax.top_k(alive_cand, k)           # (B, K) into 2K
         new_alive_scores = jnp.take_along_axis(alive_cand, alive_sel, axis=1)
         new_alive_tokens = _gather_beams(seqs, alive_sel, batch, 2 * k)
@@ -239,6 +247,13 @@ def beam_decode(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (tokens (B, K, max_len) best-first, scores (B, K),
     lengths (B, K))."""
+    if not gen.early_stopping:
+        raise NotImplementedError(
+            "beam search implements early_stopping=True semantics only (a "
+            "lane stops once K hypotheses finish — HF BeamHypotheses with "
+            "early_stopping=True); continued search over alive beams is not "
+            "wired, and silently returning early-stopped results would "
+            "misrepresent the config")
     max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)
     return _compiled_beam(
         cfg, max_len, gen.num_beams, gen.length_penalty,

@@ -126,9 +126,10 @@ def _compiled_greedy(
     # into the lru-cached closure.
     suppress_mask = lp.build_suppress_mask(cfg)
     begin_mask = lp.build_begin_suppress_mask(cfg)
-    forced_map, begin_index = lp.build_forced_map(cfg, max_len)
     if timestamps and cfg.no_timestamps_token_id is None:
         raise ValueError("timestamp decoding needs cfg.no_timestamps_token_id")
+    forced_map, begin_index = lp.build_forced_map(cfg, max_len,
+                                                  timestamps=timestamps)
 
     def fn(params, enc_states):
         # jnp conversion happens *inside* the traced function, fresh per trace
@@ -160,6 +161,11 @@ def greedy_decode(
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_encode(cfg: WhisperConfig):
+    return jax.jit(lambda p, m: wmodel.encode(p, cfg, m))
+
+
 def transcribe_tokens(
     params: dict,
     cfg: WhisperConfig,
@@ -167,9 +173,28 @@ def transcribe_tokens(
     gen: Optional[GenerationConfig] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """mel (B, 3000, n_mels) → (tokens, lengths): encode + greedy decode,
-    end to end on device."""
-    enc = wmodel.encode(params, cfg, mel)
+    end to end on device. The encoder runs through a cached jit (under an
+    outer trace it inlines; called eagerly it would otherwise dispatch the
+    conv stem + every scanned layer as separate device calls — ruinous on
+    this environment's high per-call latency)."""
+    enc = _compiled_encode(cfg)(params, mel)
     return greedy_decode(params, cfg, enc, gen)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_detect(cfg: WhisperConfig):
+    def fn(params, enc_states, ids):
+        batch = enc_states.shape[0]
+        cross_kv = wmodel.compute_cross_kv(params, cfg, enc_states)
+        self_kv = wmodel.init_self_kv(cfg, batch, 2, dtype=enc_states.dtype)
+        start = jnp.full((batch,), cfg.decoder_start_token_id, jnp.int32)
+        logits, _ = wmodel.decode_step_kv(
+            params, cfg, start, jnp.int32(0), self_kv, cross_kv
+        )
+        lang_logits = logits[:, ids]                  # (B, n_langs)
+        return ids[jnp.argmax(lang_logits, axis=-1)]
+
+    return jax.jit(fn)
 
 
 def detect_language(
@@ -183,16 +208,8 @@ def detect_language(
     (mirrors HF WhisperForConditionalGeneration.detect_language semantics;
     the reference pipeline is .en-only and skips this). Returns (B,) token
     ids drawn from ``lang_token_ids``."""
-    batch = enc_states.shape[0]
-    cross_kv = wmodel.compute_cross_kv(params, cfg, enc_states)
-    self_kv = wmodel.init_self_kv(cfg, batch, 2, dtype=enc_states.dtype)
-    start = jnp.full((batch,), cfg.decoder_start_token_id, jnp.int32)
-    logits, _ = wmodel.decode_step_kv(
-        params, cfg, start, jnp.int32(0), self_kv, cross_kv
-    )
     ids = jnp.asarray(np.asarray(lang_token_ids, np.int32))
-    lang_logits = logits[:, ids]                      # (B, n_langs)
-    return ids[jnp.argmax(lang_logits, axis=-1)]
+    return _compiled_detect(cfg)(params, enc_states, ids)
 
 
 @functools.lru_cache(maxsize=16)
@@ -268,8 +285,26 @@ def greedy_decode_prompted(
     """Greedy decode seeded with a full decoder prompt (B, P) — e.g.
     [<|startofprev|>, ...prev text..., <|startoftranscript|>, lang, task]
     for conditioned long-form, or HF's decoder_input_ids. The prompt is
-    teacher-forced through the same cached loop (prompt prefill)."""
+    teacher-forced through the same cached loop (prompt prefill).
+
+    Supports max_new_tokens only — sampling/timestamp/int8-KV knobs are not
+    wired into the prompted loop, and silently ignoring them would make a
+    conditioned long-form pass behave differently from its first chunk."""
     gen = gen or GenerationConfig()
+    unsupported = []
+    if gen.temperature != 1.0 or gen.top_k or (0.0 < gen.top_p < 1.0) \
+            or gen.repetition_penalty != 1.0:
+        unsupported.append("sampling")
+    if gen.return_timestamps:
+        unsupported.append("return_timestamps")
+    if gen.kv_cache_dtype == "int8":
+        unsupported.append("kv_cache_dtype='int8'")
+    if gen.num_beams > 1:
+        unsupported.append("num_beams>1")
+    if unsupported:
+        raise NotImplementedError(
+            "greedy_decode_prompted supports greedy float-cache decoding "
+            f"only; unsupported in GenerationConfig: {', '.join(unsupported)}")
     prompt = jnp.asarray(prompt, jnp.int32)
     prompt_len = prompt.shape[1]
     max_len = min(cfg.max_target_positions, gen.max_new_tokens + prompt_len)

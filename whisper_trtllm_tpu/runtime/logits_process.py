@@ -38,14 +38,24 @@ def build_begin_suppress_mask(cfg: WhisperConfig) -> np.ndarray:
     return mask
 
 
-def build_forced_map(cfg: WhisperConfig, max_len: int) -> Tuple[np.ndarray, int]:
+def build_forced_map(cfg: WhisperConfig, max_len: int,
+                     timestamps: bool = False) -> Tuple[np.ndarray, int]:
     """Forced-token map: arr (max_len,) int32 with token id at forced
     positions and -1 elsewhere; plus ``begin_index`` — the first free
     position (where begin-suppress applies, matching HF semantics where
-    begin_index = prompt length + last forced position)."""
+    begin_index = prompt length + last forced position).
+
+    ``timestamps=True`` drops a forced <|notimestamps|> entry (the .en
+    presets pin one): HF removes it from forced_decoder_ids when
+    return_timestamps is requested — otherwise the model would be
+    conditioned on no-timestamps while the timestamp rules simultaneously
+    suppress that token and force timestamps (HF
+    WhisperGenerationMixin._retrieve_logit_processors does the same strip)."""
     arr = np.full((max_len,), -1, np.int32)
     last_forced = 0
     for pos, tok in cfg.forced_decoder_ids:
+        if timestamps and tok == cfg.no_timestamps_token_id:
+            continue
         if pos < max_len:
             arr[pos] = tok
         last_forced = max(last_forced, pos)

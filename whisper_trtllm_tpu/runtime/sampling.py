@@ -41,8 +41,9 @@ def apply_repetition_penalty(
     idx = jax.lax.broadcasted_iota(jnp.int32, (b, max_len), 1)
     # pos: scalar (lockstep batch) or (B,) per-lane positions (ragged)
     valid = idx <= (pos[:, None] if getattr(pos, "ndim", 0) == 1 else pos)
-    onehot = jax.nn.one_hot(tokens, v, dtype=bool) & valid[..., None]
-    seen = jnp.any(onehot, axis=1)                       # (B, V)
+    # scatter-max instead of a (B, max_len, V) one-hot: at V=51864 the
+    # one-hot materializes ~100+ MB *per decode step* inside the loop
+    seen = jnp.zeros((b, v), bool).at[jnp.arange(b)[:, None], tokens].max(valid)
     pen = jnp.float32(penalty)
     penalized = jnp.where(logits > 0, logits / pen, logits * pen)
     return jnp.where(seen, penalized, logits)

@@ -28,10 +28,13 @@ def cross_entropy_loss(
     """mel (B, T, M); tokens (B, S) incl. decoder_start; loss_mask (B, S-1)
     marks the target positions that count."""
     # The only kernel on the teacher-forced path is flash_mha (encoder
-    # self-attn + cross-attn), which defines a custom VJP — training runs
-    # straight through the fused kernel; no pallas_disabled() needed.
+    # self-attn + decoder cross-attn via flash_cross=True), which defines a
+    # custom VJP — training runs straight through the fused kernel; no
+    # pallas_disabled() needed. Inference decode_full defaults to
+    # flash_cross=False for bitwise parity with decode_step.
     enc = wmodel.encode(params, cfg, mel)
-    logits = wmodel.decode_full(params, cfg, tokens[:, :-1], enc)  # fp32
+    logits = wmodel.decode_full(params, cfg, tokens[:, :-1], enc,
+                                flash_cross=True)  # fp32
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
