@@ -25,6 +25,46 @@ import jax
 import jax.numpy as jnp
 
 
+class SamplingParams(NamedTuple):
+    """Static sampling knobs, mirroring the reference SamplingConfig
+    (tensorrt_llm/runtime/generation.py:120-138) plus the DynamicDecodeLayer
+    word-list inputs (bad_words_list / stop_words_list). Lives in jitted
+    closures: scalars stay Python, word tables stay numpy (pad_word_list)."""
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 0.0
+    repetition_penalty: float = 1.0
+    seed: int = 0
+    do_sample: bool = False
+    presence_penalty: float = 0.0
+    min_new_tokens: int = 0
+    bad_words: Optional[tuple] = None   # pad_word_list output (numpy)
+    stop_words: Optional[tuple] = None  # pad_word_list output (numpy)
+
+
+def _pick_token(smp, sc, key, logits, tokens, pos, gen_count, eos_token_id):
+    """The DynamicDecodeLayer per-step pipeline: penalties → min-length →
+    bad-words ban → sample/greedy (reference:
+    cpp/tensorrt_llm/layers/dynamicDecodeLayer.cpp forward order)."""
+    if sc is None:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if sc.repetition_penalty != 1.0:
+        logits = smp.apply_repetition_penalty(
+            logits, tokens, pos, sc.repetition_penalty)
+    if sc.presence_penalty != 0.0:
+        logits = smp.apply_presence_penalty(
+            logits, tokens, pos, sc.presence_penalty)
+    if sc.min_new_tokens > 0:
+        logits = smp.apply_min_new_tokens(
+            logits, gen_count, sc.min_new_tokens, eos_token_id)
+    if sc.bad_words is not None:
+        logits = smp.ban_bad_words(logits, tokens, pos, sc.bad_words)
+    return smp.sample_token(
+        key, logits, temperature=sc.temperature, top_k=sc.top_k,
+        top_p=sc.top_p, do_sample=sc.do_sample,
+    )
+
+
 class _GenState(NamedTuple):
     tokens: jnp.ndarray
     pos: jnp.ndarray
@@ -47,10 +87,12 @@ def generate_tokens(
     cache_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Traced generation: prompt (B, P) → tokens (B, max_len), positions at
-    and after EOS hold eos_token_id. ``sampling_cfg`` is the 6-tuple
-    (temperature, top_k, top_p, repetition_penalty, seed, do_sample) built
-    by make_sampling_cfg, or None for greedy (the reference's SamplingConfig
-    knobs, tensorrt_llm/runtime/generation.py:120-138)."""
+    and after EOS hold eos_token_id. ``sampling_cfg`` is a SamplingParams
+    built by make_sampling_cfg, or None for greedy (the reference's
+    SamplingConfig knobs plus DynamicDecodeLayer word lists,
+    tensorrt_llm/runtime/generation.py:120-138). A lane stopped by a
+    stop-word match keeps the matched sequence in its output and pads the
+    rest with eos."""
     from whisper_trtllm_tpu.runtime import sampling as smp
 
     if max_len <= prompt_len:
@@ -62,29 +104,30 @@ def generate_tokens(
     b = prompt.shape[0]
 
     def pick(key, logits, tokens, pos):
-        if sc is None:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        t, k, p, rep, _, do_sample = sc
-        return smp.sample_token(
-            key, logits, temperature=t, top_k=k, top_p=p,
-            tokens=tokens, pos=pos, repetition_penalty=rep,
-            do_sample=do_sample,
-        )
+        # generated-so-far count (candidate excluded): positions
+        # [prompt_len, pos] hold generated tokens
+        gen_count = pos + 1 - jnp.int32(prompt_len)
+        return _pick_token(smp, sc, key, logits, tokens, pos, gen_count,
+                           eos_token_id)
 
     cache_k = jnp.zeros(cache_shape, cache_dtype)
     cache_v = jnp.zeros(cache_shape, cache_dtype)
     logits, cache_k, cache_v = prefill(params, prompt, cache_k, cache_v)
 
-    key0 = jax.random.PRNGKey(sc[4] if sc else 0)
+    key0 = jax.random.PRNGKey(sc.seed if sc else 0)
     k_first, key0 = jax.random.split(key0)
     tokens = jnp.full((b, max_len), eos_token_id, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
     first = pick(k_first, logits, tokens, jnp.int32(prompt_len - 1))
     tokens = tokens.at[:, prompt_len].set(first)
 
+    finished0 = first == eos_token_id
+    if sc is not None and sc.stop_words is not None:
+        finished0 |= smp.match_stop_words(
+            tokens, jnp.int32(prompt_len), sc.stop_words)
     state = _GenState(
         tokens, jnp.int32(prompt_len),
-        first == eos_token_id, cache_k, cache_v, key0,
+        finished0, cache_k, cache_v, key0,
     )
 
     def cond(s):
@@ -100,6 +143,11 @@ def generate_tokens(
         tokens = jax.lax.dynamic_update_slice(
             s.tokens, nxt[:, None], (0, s.pos + 1)
         )
+        if sc is not None and sc.stop_words is not None:
+            # a lane already finished keeps writing eos pads — exclude it
+            # from fresh stop-word matches on those pads
+            finished |= (~s.finished) & smp.match_stop_words(
+                tokens, s.pos + 1, sc.stop_words)
         return _GenState(tokens, s.pos + 1, finished, ck, cv, carry_key)
 
     return jax.lax.while_loop(cond, body, state).tokens
@@ -159,20 +207,15 @@ def generate_tokens_ragged(
     lens = prompt_lens.astype(jnp.int32)
 
     def pick(key, logits, tokens, pos):
-        if sc is None:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        t, k, pp, rep, _, do_sample = sc
-        return smp.sample_token(
-            key, logits, temperature=t, top_k=k, top_p=pp,
-            tokens=tokens, pos=pos, repetition_penalty=rep,
-            do_sample=do_sample,
-        )
+        gen_count = pos + 1 - lens        # (B,) per-lane generated count
+        return _pick_token(smp, sc, key, logits, tokens, pos, gen_count,
+                           eos_token_id)
 
     cache_k = jnp.zeros(cache_shape, cache_dtype)
     cache_v = jnp.zeros(cache_shape, cache_dtype)
     logits, cache_k, cache_v = prefill(params, prompt, lens, cache_k, cache_v)
 
-    key0 = jax.random.PRNGKey(sc[4] if sc else 0)
+    key0 = jax.random.PRNGKey(sc.seed if sc else 0)
     k_first, key0 = jax.random.split(key0)
     tokens = jnp.full((b, max_len), eos_token_id, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
@@ -184,9 +227,12 @@ def generate_tokens_ragged(
     first = pick(k_first, logits, tokens, lens - 1)
     tokens = tokens.at[rows, lens].set(first)
 
+    finished0 = first == eos_token_id
+    if sc is not None and sc.stop_words is not None:
+        finished0 |= smp.match_stop_words(tokens, lens, sc.stop_words)
     state = _RaggedState(
         tokens, lens, jnp.int32(1),
-        first == eos_token_id, cache_k, cache_v, key0,
+        finished0, cache_k, cache_v, key0,
     )
 
     def cond(s):
@@ -202,6 +248,9 @@ def generate_tokens_ragged(
         pos = jnp.minimum(s.pos + 1, max_len - 1)
         write = jnp.where(s.finished, jnp.int32(eos_token_id), nxt)
         tokens = s.tokens.at[rows, pos].set(write)
+        if sc is not None and sc.stop_words is not None:
+            finished |= (~s.finished) & smp.match_stop_words(
+                tokens, pos, sc.stop_words)
         return _RaggedState(tokens, pos, s.t + 1, finished, ck, cv, carry_key)
 
     return jax.lax.while_loop(cond, body, state).tokens
@@ -209,12 +258,27 @@ def generate_tokens_ragged(
 
 def make_sampling_cfg(temperature: float = 1.0, top_k: int = 0,
                       top_p: float = 0.0, repetition_penalty: float = 1.0,
-                      seed: int = 0, do_sample: bool = False) -> Optional[tuple]:
+                      seed: int = 0, do_sample: bool = False,
+                      presence_penalty: float = 0.0, min_new_tokens: int = 0,
+                      bad_words=None, stop_words=None
+                      ) -> Optional[SamplingParams]:
     """None when every knob is neutral and sampling was not forced (pure
     greedy, no PRNG in the graph). ``do_sample=True`` requests a categorical
     draw even with neutral knobs (temperature-1 multinomial — the HF
-    do_sample flag)."""
-    if do_sample or temperature != 1.0 or top_k > 0 or (0.0 < top_p < 1.0) \
-            or repetition_penalty != 1.0:
-        return (temperature, top_k, top_p, repetition_penalty, seed, do_sample)
-    return None
+    do_sample flag). ``bad_words``/``stop_words`` — lists of token-id lists
+    (the reference DynamicDecodeLayer's bad_words_list / stop_words_list);
+    padded to numpy tables here so they trace to constants."""
+    from whisper_trtllm_tpu.runtime.sampling import pad_word_list
+
+    if not (do_sample or temperature != 1.0 or top_k > 0
+            or (0.0 < top_p < 1.0) or repetition_penalty != 1.0
+            or presence_penalty != 0.0 or min_new_tokens > 0
+            or bad_words or stop_words):
+        return None
+    return SamplingParams(
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, seed=seed, do_sample=do_sample,
+        presence_penalty=presence_penalty, min_new_tokens=min_new_tokens,
+        bad_words=pad_word_list(bad_words) if bad_words else None,
+        stop_words=pad_word_list(stop_words) if stop_words else None,
+    )
