@@ -12,4 +12,7 @@ from whisper_trtllm_tpu.ops.attention import (  # noqa: F401
     mha,
     mha_decode_step,
     init_kv_cache,
+    init_paged_kv_cache,
+    paged_mha_decode_step,
+    paged_update_kv_cache,
 )

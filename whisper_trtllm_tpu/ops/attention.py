@@ -233,3 +233,87 @@ def mha_decode_step(
     return jnp.einsum(
         "bhqt,bhtd->bhqd", weights, cache_v, preferred_element_type=q.dtype
     )
+
+def init_paged_kv_cache(
+    num_blocks: int, tokens_per_block: int, heads: int, head_dim: int,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Paged K/V pools, (num_blocks, tokens_per_block, H, dh) ×2 — the
+    device half of the paged KV cache (reference: the per-layer memory pools
+    fed to KVCacheManager, tensorrt_llm/runtime/generation.py:842-855; block
+    addressing there is raw pointers, here pool indices from
+    runtime/kv_cache_manager.py block tables). Layout puts tokens_per_block
+    before heads so a block gather yields (…, tpb, H, dh) windows that
+    reshape to a (B, S, H, dh) attention operand without data movement."""
+    shape = (num_blocks, tokens_per_block, heads, head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def paged_update_kv_cache(
+    pool_k: jnp.ndarray,
+    pool_v: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    pos: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Write one decode step's K/V through the block table (the cache-append
+    the gptAttention plugin does against pointer arrays in paged mode,
+    reference: cpp/tensorrt_llm/plugins/gptAttentionCommon/ paged-KV branch).
+
+    k_new/v_new: (B, H, 1, dh); block_tables: (B, max_blocks_per_seq) int32;
+    pos: per-lane (B,) or scalar token positions. Each lane writes pool slot
+    [table[pos // tpb], pos % tpb]. Donate the pools for in-place updates."""
+    tpb = pool_k.shape[1]
+    b = k_new.shape[0]
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (b,))
+    blocks = jnp.take_along_axis(block_tables, (pos // tpb)[:, None],
+                                 axis=1)[:, 0]
+    offs = pos % tpb
+    pool_k = pool_k.at[blocks, offs].set(
+        k_new[:, :, 0, :].astype(pool_k.dtype))
+    pool_v = pool_v.at[blocks, offs].set(
+        v_new[:, :, 0, :].astype(pool_v.dtype))
+    return pool_k, pool_v
+
+
+def paged_mha_decode_step(
+    q: jnp.ndarray,
+    pool_k: jnp.ndarray,
+    pool_v: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    valid_len: jnp.ndarray,
+    fp32_softmax: bool = True,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Single-token attention against a paged cache: gather each lane's
+    blocks into a (B, S, H, dh) window (S = max_blocks_per_seq ×
+    tokens_per_block), then mask-attend exactly like mha_decode_step. The
+    analog of the gptAttention/ibGptAttention paged-KV generation phase
+    (reference: docs/gpt_attention.md paged KV cache section) — pointer
+    chasing becomes one XLA gather over the block axis.
+
+    q: (B, H, 1, dh); block_tables: (B, M) int32, -1 pads allowed (they are
+    clipped for the gather and masked by ``valid_len``); valid_len: scalar
+    or per-lane (B,) count of valid tokens."""
+    n, tpb, h, dh = pool_k.shape
+    b, m = block_tables.shape
+    safe = jnp.clip(block_tables, 0, n - 1)
+    k = jnp.reshape(pool_k[safe], (b, m * tpb, h, dh))
+    v = jnp.reshape(pool_v[safe], (b, m * tpb, h, dh))
+    scores = jnp.einsum(
+        "bhqd,bthd->bhqt", q, k.astype(q.dtype),
+        preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    pos_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, m * tpb), 3)
+    per_lane = getattr(valid_len, "ndim", 0) == 1
+    vl = valid_len[:, None, None, None] if per_lane else valid_len
+    scores = jnp.where(pos_ids < vl, scores, jnp.float32(-1e9))
+    if fp32_softmax:
+        weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    else:
+        weights = jax.nn.softmax(scores.astype(q.dtype), axis=-1)
+    return jnp.einsum(
+        "bhqt,bthd->bhqd", weights, v.astype(q.dtype),
+        preferred_element_type=q.dtype)
