@@ -201,6 +201,77 @@ def _prefill_ragged(params, cfg: GPTConfig, tokens, lens, cache_k, cache_v):
         cache_k, cache_v
 
 
+def _prefill_paged(params, cfg: GPTConfig, tokens, lens,
+                   pool_k, pool_v, block_tables):
+    """Context phase against a paged KV cache: same graph as
+    _prefill_ragged, but K/V scatter through per-lane block tables into the
+    shared pools (the gptAttentionPlugin context phase with
+    paged_kv_cache=True, reference: tensorrt_llm/functional.py:2695-2940
+    ``kv_cache_block_pointers`` input). Pools: (L, num_blocks, tpb, H, dh);
+    one int32 table serves every layer (the reference keeps per-layer
+    pointer arrays only because addresses differ per pool — indices don't).
+    """
+    from whisper_trtllm_tpu.ops.attention import paged_prefill_update
+
+    b, s = tokens.shape
+    x = embedding(params["wte"], tokens)
+    x = x + params["wpe"][:s][None]
+
+    def body(x, xs):
+        lp, pk, pv = xs
+        a, k, v = _attention(lp, x, cfg, causal=True)
+        pk, pv = paged_prefill_update(pk, pv, k, v, block_tables, lens)
+        x = x + a
+        x = x + _mlp(lp, x, cfg)
+        return x, (pk, pv)
+
+    x, (pool_k, pool_v) = jax.lax.scan(
+        body, x, (params["layers"], pool_k, pool_v))
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
+
+    return (_vocab_logits(params, gather_last_token_logits(x, lens)),
+            pool_k, pool_v)
+
+
+def _step_paged(params, cfg: GPTConfig, tok, pos, pool_k, pool_v,
+                block_tables):
+    """Generation phase against the paged cache: identical layer graph to
+    _step with (update, attend) swapped for the gather-based paged ops.
+    ``pos`` is per-lane (B,) — paged mode exists for in-flight batching."""
+    from whisper_trtllm_tpu.ops.attention import (
+        paged_mha_decode_step,
+        paged_update_kv_cache,
+    )
+
+    x = embedding(params["wte"], tok[:, None])
+    x = x + jnp.take(params["wpe"], pos, axis=0)[:, None]
+    b = tok.shape[0]
+
+    def body(x, xs):
+        lp, pk, pv = xs
+        h = layer_norm(lp["ln_1"], x, cfg.layer_norm_eps)
+        qkv = dense(lp["attn_qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, 1, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
+
+        q = heads(q) * cfg.head_dim ** -0.5
+        pk, pv = paged_update_kv_cache(pk, pv, heads(k), heads(v),
+                                       block_tables, pos)
+        a = paged_mha_decode_step(q, pk, pv, block_tables, pos + 1)
+        a = a.transpose(0, 2, 1, 3).reshape(b, 1, cfg.d_model)
+        x = x + dense(lp["attn_out"], a)
+        x = x + _mlp(lp, x, cfg)
+        return x, (pk, pv)
+
+    x, (pool_k, pool_v) = jax.lax.scan(
+        body, x, (params["layers"], pool_k, pool_v))
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    return _vocab_logits(params, x[:, 0]), pool_k, pool_v
+
+
 @functools.lru_cache(maxsize=16)
 def _compiled_generate_ragged(cfg: GPTConfig, prompt_pad: int,
                               max_new_tokens: int, sampling_cfg=None):

@@ -14,5 +14,6 @@ from whisper_trtllm_tpu.ops.attention import (  # noqa: F401
     init_kv_cache,
     init_paged_kv_cache,
     paged_mha_decode_step,
+    paged_prefill_update,
     paged_update_kv_cache,
 )

@@ -263,17 +263,65 @@ def paged_update_kv_cache(
 
     k_new/v_new: (B, H, 1, dh); block_tables: (B, max_blocks_per_seq) int32;
     pos: per-lane (B,) or scalar token positions. Each lane writes pool slot
-    [table[pos // tpb], pos % tpb]. Donate the pools for in-place updates."""
-    tpb = pool_k.shape[1]
+    [table[pos // tpb], pos % tpb]. Donate the pools for in-place updates.
+
+    Lanes whose table entry is -1 or whose pos falls outside the table's
+    coverage write NOTHING (scatter mode='drop') — in a continuous batcher a
+    retired lane keeps stepping until its slot is refilled, and its freed
+    blocks may already belong to another request."""
+    n, tpb, h, dh = pool_k.shape
     b = k_new.shape[0]
+    m = block_tables.shape[1]
     pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (b,))
-    blocks = jnp.take_along_axis(block_tables, (pos // tpb)[:, None],
-                                 axis=1)[:, 0]
-    offs = pos % tpb
-    pool_k = pool_k.at[blocks, offs].set(
-        k_new[:, :, 0, :].astype(pool_k.dtype))
-    pool_v = pool_v.at[blocks, offs].set(
-        v_new[:, :, 0, :].astype(pool_v.dtype))
+    blocks = jnp.take_along_axis(
+        block_tables, jnp.clip(pos // tpb, 0, m - 1)[:, None], axis=1)[:, 0]
+    flat = blocks * tpb + pos % tpb
+    valid = (blocks >= 0) & (pos >= 0) & (pos < m * tpb)
+    flat = jnp.where(valid, flat, n * tpb)  # out of range -> dropped
+    kv_shape = (n * tpb, h, dh)
+    pool_k = pool_k.reshape(kv_shape).at[flat].set(
+        k_new[:, :, 0, :].astype(pool_k.dtype),
+        mode="drop").reshape(pool_k.shape)
+    pool_v = pool_v.reshape(kv_shape).at[flat].set(
+        v_new[:, :, 0, :].astype(pool_v.dtype),
+        mode="drop").reshape(pool_v.shape)
+    return pool_k, pool_v
+
+
+def paged_prefill_update(
+    pool_k: jnp.ndarray,
+    pool_v: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    lens: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Context-phase bulk write: scatter a whole prompt's K/V through the
+    block tables in one op (the gptAttention plugin's context-phase paged
+    cache population, reference: docs/gpt_attention.md paged KV + context
+    phase; the reference does it inside the fused kernel, here it is one
+    XLA scatter over a flat (num_blocks*tpb) view of the pool).
+
+    k/v: (B, H, S, dh) right-padded; lens: (B,) valid lengths. Padding
+    positions and positions whose table entry is -1 are routed to an
+    out-of-range flat index and dropped by the scatter (mode='drop'), so
+    they can never corrupt other sequences' blocks."""
+    n, tpb, h, dh = pool_k.shape
+    b, _, s, _ = k.shape
+    t = jnp.arange(s, dtype=jnp.int32)[None, :]                    # (1,S)
+    blocks = jnp.take_along_axis(
+        block_tables, t // tpb, axis=1)                            # (B,S)
+    flat = blocks * tpb + t % tpb                                  # (B,S)
+    valid = (t < lens[:, None]) & (blocks >= 0)
+    flat = jnp.where(valid, flat, n * tpb)                         # OOB→drop
+    # (B,S,H,dh) token-major values to match the pool's (token, H, dh) rows
+    kv_shape = (n * tpb, h, dh)
+    pool_k = pool_k.reshape(kv_shape).at[flat].set(
+        k.transpose(0, 2, 1, 3).astype(pool_k.dtype),
+        mode="drop").reshape(pool_k.shape)
+    pool_v = pool_v.reshape(kv_shape).at[flat].set(
+        v.transpose(0, 2, 1, 3).astype(pool_v.dtype),
+        mode="drop").reshape(pool_v.shape)
     return pool_k, pool_v
 
 
