@@ -327,3 +327,149 @@ def test_weight_only_quantize_covers_llama(rng):
     got = np.asarray(forward(qp, cfg, tokens))
     # int8 per-channel weight quantization: logits close, argmax mostly equal
     assert np.mean(np.argmax(ref, -1) == np.argmax(got, -1)) > 0.8
+
+
+# --------------------------------------------------------------------------
+# FP8 (QuantMode.FP8_QDQ weights + FP8_KV_CACHE)
+# --------------------------------------------------------------------------
+
+def test_fp8_mode_flags():
+    m = QuantMode.FP8_QDQ | QuantMode.FP8_KV_CACHE
+    assert m.has_fp8_qdq() and m.has_fp8_kv_cache()
+    assert m.has_kv_cache_quant()
+    assert QuantMode.INT8_KV_CACHE.has_kv_cache_quant()
+    assert not QuantMode.INT8_WEIGHTS.has_kv_cache_quant()
+
+
+def test_fp8_kernel_roundtrip(rng):
+    from whisper_trtllm_tpu.quantization import quantize_kernel_fp8
+
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    q, s = quantize_kernel_fp8(w)
+    assert q.dtype == jnp.float8_e4m3fn and np.ndim(s) == 0
+    wd = np.asarray(jnp.asarray(q).astype(jnp.float32)) * s
+    # e4m3 keeps >=3 mantissa bits over most of the range: ~6% relative
+    rel = np.abs(wd - w) / (np.abs(w) + 1e-6)
+    assert np.median(rel) < 0.04 and rel.max() < 0.2
+
+
+def test_fp8_dense_close(rng):
+    from whisper_trtllm_tpu.quantization import quantize_dense_params_fp8
+
+    p = {"kernel": rng.standard_normal((48, 16)).astype(np.float32),
+         "bias": rng.standard_normal(16).astype(np.float32)}
+    x = rng.standard_normal((4, 48)).astype(np.float32)
+    ref = np.asarray(dense(p, jnp.asarray(x)))
+    out = np.asarray(dense(
+        jax.tree_util.tree_map(jnp.asarray, quantize_dense_params_fp8(p)),
+        jnp.asarray(x),
+    ))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.1
+
+
+def test_fp8_whisper_decodes(rng):
+    """fp8_quantize tree rewrite + full decode: kernels stored fp8, conv
+    and embeddings untouched, early trajectory tracks float."""
+    from whisper_trtllm_tpu.quantization import fp8_quantize
+
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    qparams = fp8_quantize(params)
+    lq = qparams["decoder"]["layers"]["self_attn"]["q"]
+    assert lq["kernel_f8"].dtype == jnp.float8_e4m3fn
+    assert "kernel" not in lq
+    assert "kernel" in qparams["encoder"]["conv1"]
+
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    ref, _ = transcribe_tokens(params, cfg, jnp.asarray(mel),
+                               GenerationConfig(max_new_tokens=8))
+    out, _ = transcribe_tokens(
+        jax.tree_util.tree_map(jnp.asarray, qparams), cfg, jnp.asarray(mel),
+        GenerationConfig(max_new_tokens=8),
+    )
+    assert np.asarray(out).shape == np.asarray(ref).shape
+    np.testing.assert_array_equal(np.asarray(out)[:, :2],
+                                  np.asarray(ref)[:, :2])
+
+
+def test_fp8_kv_cache_decode(rng):
+    """FP8_KV_CACHE mode end to end (kv_cache_dtype='fp8')."""
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    ref, _ = transcribe_tokens(params, cfg, jnp.asarray(mel),
+                               GenerationConfig(max_new_tokens=8))
+    q8, _ = transcribe_tokens(
+        params, cfg, jnp.asarray(mel),
+        GenerationConfig(max_new_tokens=8, kv_cache_dtype="fp8"),
+    )
+    ref, q8 = np.asarray(ref), np.asarray(q8)
+    assert ref.shape == q8.shape
+    np.testing.assert_array_equal(q8[:, :3], ref[:, :3])
+
+
+def test_fp8_kv_step_logits_close(rng):
+    """fp8 cache step logits sit closer to float than int8's bound (e4m3
+    has graceful relative error vs int8's uniform grid)."""
+    from whisper_trtllm_tpu.models.whisper import (
+        compute_cross_kv, decode_step_kv, init_self_kv, init_self_kv_quant,
+        quantize_cross_kv,
+    )
+    from whisper_trtllm_tpu.models.whisper import encode as enc_fn
+
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    mel = rng.standard_normal(
+        (1, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    enc = enc_fn(params, cfg, jnp.asarray(mel))
+    ck, cv = compute_cross_kv(params, cfg, enc)
+    tok = jnp.asarray([1], jnp.int32)
+
+    ref_logits, _ = decode_step_kv(
+        params, cfg, tok, jnp.int32(0), init_self_kv(cfg, 1), (ck, cv))
+    f8 = jnp.float8_e4m3fn
+    q_logits, _ = decode_step_kv(
+        params, cfg, tok, jnp.int32(0),
+        init_self_kv_quant(cfg, 1, dtype=f8),
+        quantize_cross_kv(ck, cv, f8))
+    rel = np.abs(np.asarray(q_logits) - np.asarray(ref_logits)).max() / (
+        np.abs(np.asarray(ref_logits)).max() + 1e-9
+    )
+    assert rel < 0.05
+
+
+def test_kv_quant_dtype_rejects_unknown():
+    from whisper_trtllm_tpu.runtime.generation import kv_quant_dtype
+
+    assert kv_quant_dtype("auto") is None
+    assert kv_quant_dtype("int8") == jnp.int8
+    assert kv_quant_dtype("fp8") == jnp.float8_e4m3fn
+    with pytest.raises(ValueError, match="kv_cache_dtype"):
+        kv_quant_dtype("int4")
+
+
+def test_fp8_session_weight_dtype(rng):
+    """RuntimeConfig(weight_dtype='fp8'): kernels stay fp8 through the
+    session's cast/placement chain and transcription runs."""
+    from whisper_trtllm_tpu.config import RuntimeConfig
+    from whisper_trtllm_tpu.runtime import WhisperSession
+
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    sess = WhisperSession(
+        params, cfg, GenerationConfig(max_new_tokens=6),
+        RuntimeConfig(compute_dtype="bfloat16", weight_dtype="fp8"),
+    )
+    lq = sess.params["decoder"]["layers"]["self_attn"]["q"]
+    assert lq["kernel_f8"].dtype == jnp.float8_e4m3fn
+    mel = rng.standard_normal(
+        (1, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    tokens, lengths = sess.transcribe_features(mel)
+    assert tokens.shape[0] == 1 and lengths[0] >= 1

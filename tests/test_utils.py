@@ -73,3 +73,23 @@ def test_mesh_config_world_size():
 def test_generation_config_roundtrip():
     g = GenerationConfig(max_new_tokens=7, num_beams=3, kv_cache_dtype="int8")
     assert GenerationConfig.from_json(g.to_json()) == g
+
+
+def test_memory_monitor_runs():
+    """MemoryMonitor degrades gracefully when the backend keeps no stats
+    (reference: benchmarks/mem_monitor.py — pynvml polling loop)."""
+    import time as _time
+
+    from whisper_trtllm_tpu.benchmarks.mem_monitor import (
+        MemoryMonitor,
+        get_memory_info,
+    )
+
+    total, used, peak = get_memory_info()
+    assert (total == -1.0) or (total >= 0 and used >= 0)
+    mon = MemoryMonitor(interval=0.01).start()
+    _time.sleep(0.05)
+    p = mon.stop()
+    assert p == -1.0 or p >= 0.0
+    # stop twice is safe
+    assert mon.stop() == p

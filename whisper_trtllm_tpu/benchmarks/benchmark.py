@@ -53,14 +53,19 @@ def bench_config(model: str, batch: int, dtype: str, gen_tokens: int,
     ).astype(np.float32)
 
     sess.transcribe_features(mel)  # compile
+    from whisper_trtllm_tpu.benchmarks.mem_monitor import MemoryMonitor
+
+    mon = MemoryMonitor().start()
     lats = []
     for _ in range(iters):
         t0 = time.perf_counter()
         sess.transcribe_features(mel)
         lats.append(time.perf_counter() - t0)
+    peak_gib = mon.stop()
     lats = np.asarray(lats)
     batch_s = float(np.median(lats))
     return {
+        "peak_mem_gib": peak_gib,
         "model": model,
         "batch": batch,
         "dtype": dtype,

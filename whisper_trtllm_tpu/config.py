@@ -205,8 +205,9 @@ class GenerationConfig:
     return_timestamps: bool = False
     repetition_penalty: float = 1.0
     seed: int = 0           # PRNG seed for sampling
-    # "auto" follows the compute dtype; "int8" stores self+cross KV caches
-    # int8 with per-token scales (QuantMode.INT8_KV_CACHE analog)
+    # "auto" follows the compute dtype; "int8"/"fp8" store self+cross KV
+    # caches quantized with per-token scales (QuantMode.INT8_KV_CACHE /
+    # FP8_KV_CACHE analogs; fp8 = float8_e4m3fn storage)
     kv_cache_dtype: str = "auto"
 
     def to_json(self) -> str:
@@ -224,9 +225,11 @@ class RuntimeConfig:
     tensorrt_llm/builder.py:70-142)."""
 
     compute_dtype: str = "float32"     # "float32" | "bfloat16"
-    # "native" keeps checkpoint precision; "int8" applies per-channel
+    # "native" keeps checkpoint precision; "int8"/"int4" apply per-channel
     # weight-only quantization to all dense projections at session load
-    # (quantization.weight_only_quantize)
+    # (quantization.weight_only_quantize*); "fp8" stores dense kernels
+    # float8_e4m3fn with per-tensor scales and QDQs activations through fp8
+    # (quantization.fp8_quantize — the reference's QuantMode.FP8_QDQ)
     weight_dtype: str = "native"
     # int8-quantize the tied vocab table (quantization.quantize_embedding):
     # the vocab-head einsum reads the table int8 (largest single per-step

@@ -10,6 +10,7 @@ from whisper_trtllm_tpu.models.whisper.model import (  # noqa: F401
     init_params,
     init_self_kv,
     init_self_kv_int8,
+    init_self_kv_quant,
     quantize_cross_kv,
 )
 from whisper_trtllm_tpu.models.whisper.convert import (  # noqa: F401

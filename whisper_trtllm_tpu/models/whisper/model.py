@@ -143,10 +143,14 @@ def init_params(cfg: WhisperConfig, seed: int = 0) -> dict:
 
 def cast_params(params, dtype) -> dict:
     """Cast floating-point leaves to the compute dtype (bf16 weights for the
-    MXU; LayerNorm statistics stay fp32 inside ops.functional.layer_norm)."""
+    MXU; LayerNorm statistics stay fp32 inside ops.functional.layer_norm).
+    float8 storage (fp8_quantize kernels) stays fp8 — upcasting it would
+    undo the quantization."""
     def cast(x):
         x = jnp.asarray(x)
-        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+        if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype.itemsize > 1:
+            return x.astype(dtype)
+        return x
     return jax.tree_util.tree_map(cast, params)
 
 
@@ -299,20 +303,23 @@ def init_self_kv(
 
 
 def quantize_cross_kv(
-    cross_k: jnp.ndarray, cross_v: jnp.ndarray
+    cross_k: jnp.ndarray, cross_v: jnp.ndarray, dtype=jnp.int8
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Float cross-KV → int8 4-tuple (kq, ks, vq, vs) for decode_step_kv
-    (QuantMode.INT8_KV_CACHE; cross-KV dominates per-step decode HBM traffic
-    since all 1500 encoder positions are read every token)."""
-    kq, ks = quantize_kv(cross_k)
-    vq, vs = quantize_kv(cross_v)
+    """Float cross-KV → quantized 4-tuple (kq, ks, vq, vs) for
+    decode_step_kv (QuantMode.INT8_KV_CACHE / FP8_KV_CACHE; cross-KV
+    dominates per-step decode HBM traffic since all 1500 encoder positions
+    are read every token)."""
+    kq, ks = quantize_kv(cross_k, dtype)
+    vq, vs = quantize_kv(cross_v, dtype)
     return kq, ks, vq, vs
 
 
-def init_self_kv_int8(
-    cfg: WhisperConfig, batch: int, max_len: Optional[int] = None
+def init_self_kv_quant(
+    cfg: WhisperConfig, batch: int, max_len: Optional[int] = None,
+    dtype=jnp.int8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """int8 self-KV cache: (values int8, scales fp32) ×2, leading L axis."""
+    """Quantized self-KV cache: (values int8/fp8, scales fp32) ×2, leading
+    L axis."""
     max_len = max_len or cfg.max_target_positions
     shape = (
         cfg.decoder_layers, batch, cfg.decoder_attention_heads,
@@ -320,9 +327,15 @@ def init_self_kv_int8(
     )
     sshape = shape[:-1] + (1,)
     return (
-        jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32),
-        jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32),
+        jnp.zeros(shape, dtype), jnp.ones(sshape, jnp.float32),
+        jnp.zeros(shape, dtype), jnp.ones(sshape, jnp.float32),
     )
+
+
+def init_self_kv_int8(
+    cfg: WhisperConfig, batch: int, max_len: Optional[int] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return init_self_kv_quant(cfg, batch, max_len, jnp.int8)
 
 
 def decode_step_kv(
@@ -361,8 +374,8 @@ def decode_step_kv(
         q, k_new, v_new = attention_qkv(lp["self_attn"], h, None, heads)
         if int8_self:
             skq, sks, svq, svs = s
-            k_q, k_s = quantize_kv(k_new)
-            v_q, v_s = quantize_kv(v_new)
+            k_q, k_s = quantize_kv(k_new, skq.dtype)
+            v_q, v_s = quantize_kv(v_new, svq.dtype)
             skq, svq = update_kv_cache(skq, svq, k_q, v_q, pos)
             sks, svs = update_kv_cache(sks, svs, k_s, v_s, pos)
             a = mha_decode_step(q, skq, svq, pos + 1, k_scale=sks, v_scale=svs)

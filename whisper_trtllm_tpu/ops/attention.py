@@ -129,15 +129,26 @@ def update_kv_cache(
     return cache_k, cache_v
 
 
-def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-token-per-head symmetric int8 quantization of K/V states
-    (reduced over head_dim). Analog of the reference's int8 KV-cache mode
-    (reference: tensorrt_llm/layers/attention.py int8 KV quant/dequant +
-    QuantMode.INT8_KV_CACHE, quantization/mode.py). Returns (int8 values,
-    fp32 scales with a trailing keepdim)."""
+def quantize_kv(x: jnp.ndarray,
+                dtype=jnp.int8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token-per-head symmetric quantization of K/V states (reduced
+    over head_dim) to int8 or float8_e4m3fn. Analog of the reference's
+    INT8_KV_CACHE / FP8_KV_CACHE modes (reference:
+    tensorrt_llm/layers/attention.py int8 KV quant/dequant +
+    QuantMode.{INT8,FP8}_KV_CACHE, quantization/mode.py:17-18,61-66).
+    Returns (quantized values, fp32 scales with a trailing keepdim); the
+    consumer recovers float via ``values.astype(f32) * scale`` either way,
+    so `mha_decode_step`'s k_scale/v_scale path serves both."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                     -127, 127).astype(jnp.int8)
+    else:
+        # e4m3fn: max finite 448; scaling amax onto it keeps the cast exact
+        # at the extremes (no saturate-to-nan in a format without inf)
+        scale = jnp.maximum(amax, 1e-8) / 448.0
+        q = (x.astype(jnp.float32) / scale).astype(dtype)
     return q, scale
 
 

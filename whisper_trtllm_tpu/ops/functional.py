@@ -80,6 +80,18 @@ def dense(params: dict, x: jnp.ndarray) -> jnp.ndarray:
         w = unpack_int4_kernel(params["kernel_q4"], x.dtype)
         y = jnp.dot(x, w, preferred_element_type=x.dtype)
         y = y * params["scale"].astype(y.dtype)
+    elif "kernel_f8" in params:
+        # FP8 QDQ: fp8-stored weight (per-tensor scale) x fp8-QDQ'd
+        # activation, accumulated in the compute dtype (analog of
+        # FP8Linear/FP8RowLinear, reference:
+        # tensorrt_llm/quantization/layer.py:442-560; the quantize/dequantize
+        # pairs become convert ops XLA fuses into the dot)
+        from whisper_trtllm_tpu.quantization.quantize import fp8_qdq_activation
+
+        xq = fp8_qdq_activation(x)
+        w = params["kernel_f8"].astype(x.dtype)
+        y = jnp.dot(xq, w, preferred_element_type=x.dtype)
+        y = y * params["scale"].astype(y.dtype)
     else:
         y = jnp.dot(x, params["kernel"], preferred_element_type=x.dtype)
     if "bias" in params and params["bias"] is not None:

@@ -12,13 +12,24 @@ class QuantMode(enum.IntFlag):
     INT4_WEIGHTS = enum.auto()      # weight-only int4 (packed nibbles)
     INT8_KV_CACHE = enum.auto()     # int8 KV cache (per-token scales)
     SMOOTH_QUANT = enum.auto()      # int8 act x int8 weight, smoothed
-    FP8_QDQ = enum.auto()           # fp8 quant/dequant          [reserved]
+    FP8_QDQ = enum.auto()           # fp8 weight storage + activation QDQ
+    FP8_KV_CACHE = enum.auto()      # float8_e4m3fn KV cache (per-token scales)
 
     def has_int8_weights(self) -> bool:
         return bool(self & QuantMode.INT8_WEIGHTS)
 
     def has_int8_kv_cache(self) -> bool:
         return bool(self & QuantMode.INT8_KV_CACHE)
+
+    def has_fp8_qdq(self) -> bool:
+        return bool(self & QuantMode.FP8_QDQ)
+
+    def has_fp8_kv_cache(self) -> bool:
+        return bool(self & QuantMode.FP8_KV_CACHE)
+
+    def has_kv_cache_quant(self) -> bool:
+        """(reference: mode.py:64-66 has_kv_cache_quant)."""
+        return bool(self & (QuantMode.INT8_KV_CACHE | QuantMode.FP8_KV_CACHE))
 
     def has_act_and_weight_quant(self) -> bool:
         """SmoothQuant-style int8 activations + weights (analog of

@@ -151,6 +151,72 @@ def weight_only_quantize_int4(params: dict,
     return walk(params)
 
 
+def quantize_kernel_fp8(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(in, out) fp → (float8_e4m3fn kernel, () fp32 per-tensor scale).
+
+    The reference's FP8 path is per-tensor-scaled QDQ on weight and
+    activation with calibrated scaling factors (reference:
+    tensorrt_llm/quantization/layer.py:442-560 FP8Linear/FP8RowLinear,
+    QuantMode.FP8_QDQ). Weights here are stored genuinely fp8 (half the
+    HBM traffic of bf16); e4m3fn max-finite is 448, so amax/448 keeps the
+    cast saturation-free."""
+    kernel = np.asarray(kernel, np.float32)
+    amax = max(float(np.abs(kernel).max()), 1e-8)
+    scale = np.float32(amax / 448.0)
+    q = (kernel / scale).astype(jnp.float8_e4m3fn)
+    return q, scale
+
+
+def fp8_qdq_activation(x: jnp.ndarray) -> jnp.ndarray:
+    """Dynamic per-tensor activation QDQ through float8_e4m3fn (the
+    reference calibrates activation_scaling_factor offline; TPU has no
+    TensorRT calibration cache, so the scale is the runtime abs-max —
+    strictly tighter than a calibrated bound)."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8)
+    scale = amax / 448.0
+    q = (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+    return (q.astype(jnp.float32) * scale).astype(x.dtype)
+
+
+def quantize_dense_params_fp8(p: dict) -> dict:
+    kernel = np.asarray(p["kernel"])
+    if kernel.ndim == 2:
+        q, s = quantize_kernel_fp8(kernel)
+    elif kernel.ndim == 3:
+        qs, ss = zip(*(quantize_kernel_fp8(k) for k in kernel))
+        q, s = np.stack(qs), np.stack(ss)
+    else:
+        return dict(p)
+    out = {"kernel_f8": np.asarray(q), "scale": np.asarray(s, np.float32)}
+    if "bias" in p:
+        out["bias"] = np.asarray(p["bias"])
+    return out
+
+
+def fp8_quantize(params: dict, keys: Iterable[str] = _DENSE_KEYS) -> dict:
+    """QuantMode.FP8_QDQ tree rewrite (the fp8 analog of
+    weight_only_quantize; reference: models/quantized/quant.py rewriters)."""
+    keys = frozenset(keys)
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for name, sub in tree.items():
+            if (
+                name in keys
+                and isinstance(sub, dict)
+                and "kernel" in sub
+                and np.asarray(sub["kernel"]).ndim in (2, 3)
+            ):
+                out[name] = quantize_dense_params_fp8(sub)
+            else:
+                out[name] = walk(sub)
+        return out
+
+    return walk(params)
+
+
 def quantize_embedding(table: np.ndarray) -> dict:
     """(V, d) fp → {"table_q" int8, "scale" (V,) fp32}, symmetric per row.
 

@@ -22,6 +22,7 @@ import numpy as np
 from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
 from whisper_trtllm_tpu.models.whisper import model as wmodel
 from whisper_trtllm_tpu.runtime import logits_process as lp
+from whisper_trtllm_tpu.runtime.generation import kv_quant_dtype
 
 NEG_INF = jnp.float32(-1.0e9)
 
@@ -65,7 +66,7 @@ def _beam_decode_impl(
     begin_suppress_mask: jnp.ndarray,
     forced_map: jnp.ndarray,
     begin_index: int,
-    kv_int8: bool = False,
+    kv_cache_dtype: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     batch = enc_states.shape[0]
     dtype = enc_states.dtype
@@ -79,9 +80,11 @@ def _beam_decode_impl(
     cross_k, cross_v = wmodel.compute_cross_kv(params, cfg, enc_states)
     cross_k = jnp.repeat(cross_k, k, axis=1)          # (L, B*K, H, Tc, dh)
     cross_v = jnp.repeat(cross_v, k, axis=1)
-    if kv_int8:
-        cross_kv = wmodel.quantize_cross_kv(cross_k, cross_v)
-        self_kv = wmodel.init_self_kv_int8(cfg, batch * k, max_len)
+    kv_qdtype = kv_quant_dtype(kv_cache_dtype)
+    if kv_qdtype is not None:
+        cross_kv = wmodel.quantize_cross_kv(cross_k, cross_v, kv_qdtype)
+        self_kv = wmodel.init_self_kv_quant(cfg, batch * k, max_len,
+                                            kv_qdtype)
     else:
         cross_kv = (cross_k, cross_v)
         self_kv = wmodel.init_self_kv(cfg, batch * k, max_len, dtype=dtype)
@@ -224,7 +227,7 @@ def _beam_decode_impl(
 
 @functools.lru_cache(maxsize=16)
 def _compiled_beam(cfg: WhisperConfig, max_len: int, k: int,
-                   length_penalty: float, kv_int8: bool = False):
+                   length_penalty: float, kv_cache_dtype: str = "auto"):
     suppress_mask = lp.build_suppress_mask(cfg)
     begin_mask = lp.build_begin_suppress_mask(cfg)
     forced_map, begin_index = lp.build_forced_map(cfg, max_len)
@@ -233,7 +236,7 @@ def _compiled_beam(cfg: WhisperConfig, max_len: int, k: int,
         return _beam_decode_impl(
             params, cfg, enc_states, max_len, k, length_penalty,
             jnp.asarray(suppress_mask), jnp.asarray(begin_mask),
-            jnp.asarray(forced_map), begin_index, kv_int8,
+            jnp.asarray(forced_map), begin_index, kv_cache_dtype,
         )
 
     return jax.jit(fn)
@@ -257,5 +260,5 @@ def beam_decode(
     max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)
     return _compiled_beam(
         cfg, max_len, gen.num_beams, gen.length_penalty,
-        gen.kv_cache_dtype == "int8",
+        gen.kv_cache_dtype,
     )(params, enc_states)

@@ -25,6 +25,19 @@ from whisper_trtllm_tpu.runtime import logits_process as lp
 from whisper_trtllm_tpu.runtime import sampling
 
 
+def kv_quant_dtype(kv_cache_dtype: str):
+    """GenerationConfig.kv_cache_dtype → storage dtype for the quantized KV
+    path, or None for float caches ("auto"). The reference's
+    QuantMode.INT8_KV_CACHE / FP8_KV_CACHE dispatch (reference:
+    tensorrt_llm/quantization/mode.py:17-18,61-66)."""
+    table = {"auto": None, "int8": jnp.int8, "fp8": jnp.float8_e4m3fn}
+    if kv_cache_dtype not in table:
+        raise ValueError(
+            f"kv_cache_dtype must be one of {sorted(table)}, "
+            f"got {kv_cache_dtype!r}")
+    return table[kv_cache_dtype]
+
+
 class GreedyState(NamedTuple):
     """Decode-loop carry (analog of the reference's ad-hoc per-step buffers,
     examples/whisper/run.py:195-225)."""
@@ -52,12 +65,12 @@ def _greedy_decode_impl(
     batch = enc_states.shape[0]
     cache_dtype = enc_states.dtype
     gen = gen or GenerationConfig()
-    kv_int8 = gen.kv_cache_dtype == "int8"
+    kv_qdtype = kv_quant_dtype(gen.kv_cache_dtype)
 
     cross_k, cross_v = wmodel.compute_cross_kv(params, cfg, enc_states)
-    if kv_int8:
-        cross_kv = wmodel.quantize_cross_kv(cross_k, cross_v)
-        self_kv = wmodel.init_self_kv_int8(cfg, batch, max_len)
+    if kv_qdtype is not None:
+        cross_kv = wmodel.quantize_cross_kv(cross_k, cross_v, kv_qdtype)
+        self_kv = wmodel.init_self_kv_quant(cfg, batch, max_len, kv_qdtype)
     else:
         cross_kv = (cross_k, cross_v)
         self_kv = wmodel.init_self_kv(cfg, batch, max_len, dtype=cache_dtype)
@@ -297,8 +310,8 @@ def greedy_decode_prompted(
         unsupported.append("sampling")
     if gen.return_timestamps:
         unsupported.append("return_timestamps")
-    if gen.kv_cache_dtype == "int8":
-        unsupported.append("kv_cache_dtype='int8'")
+    if gen.kv_cache_dtype != "auto":
+        unsupported.append(f"kv_cache_dtype={gen.kv_cache_dtype!r}")
     if gen.num_beams > 1:
         unsupported.append("num_beams>1")
     if unsupported:

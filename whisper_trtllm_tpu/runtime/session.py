@@ -74,9 +74,13 @@ class WhisperSession:
             from whisper_trtllm_tpu.quantization import weight_only_quantize_int4
 
             params = weight_only_quantize_int4(params)
+        elif wd == "fp8":
+            from whisper_trtllm_tpu.quantization import fp8_quantize
+
+            params = fp8_quantize(params)
         elif wd != "native":
             raise ValueError(
-                f"unknown weight_dtype {wd!r}; expected native/int8/int4"
+                f"unknown weight_dtype {wd!r}; expected native/int8/int4/fp8"
             )
         if self.runtime.quantize_vocab:
             from whisper_trtllm_tpu.quantization import quantize_vocab_embedding
