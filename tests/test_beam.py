@@ -175,3 +175,51 @@ def test_beam_early_stopping_false_rejected():
     with pytest.raises(NotImplementedError, match="early_stopping"):
         beam_decode(params, cfg, jnp.zeros((1, 8, cfg.d_model)),
                     GenerationConfig(num_beams=2, early_stopping=False))
+
+
+@pytest.mark.parametrize("length_penalty", [1.0, 2.0])
+def test_beam_scores_match_hf_with_suppress_and_fallback(rng, length_penalty):
+    """Cumulative beam scores equal HF's sequences_scores exactly, in the two
+    regimes the bookkeeping can get subtly wrong: (a) processors active — HF
+    applies suppress AFTER log_softmax, so the suppressed mass stays in the
+    normalizer; (b) EOS suppressed entirely, so the finished pool never fills
+    and the alive-beam max-length fallback path produces the output (HF
+    penalizes it by cur_len + 1 - decoder_prompt_len, i.e. length - 1)."""
+    import torch
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    torch.manual_seed(3)
+    hf_cfg = HFConfig(
+        vocab_size=53, num_mel_bins=8, d_model=24, encoder_layers=2,
+        encoder_attention_heads=4, decoder_layers=2,
+        decoder_attention_heads=4, encoder_ffn_dim=48, decoder_ffn_dim=48,
+        max_source_positions=12, max_target_positions=12,
+        decoder_start_token_id=1, eos_token_id=2, pad_token_id=0,
+        bos_token_id=1, suppress_tokens=[2], begin_suppress_tokens=[],
+    )
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    params, cfg = convert_hf_model(hf)
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)).astype(np.float32)
+    max_new = cfg.max_target_positions - 2
+
+    with torch.no_grad():
+        out = hf.generate(
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            max_new_tokens=max_new, num_beams=3, do_sample=False,
+            length_penalty=length_penalty, early_stopping=True,
+            return_dict_in_generate=True, output_scores=True,
+        )
+    hf_scores = out.sequences_scores.numpy()
+
+    enc = jax.jit(lambda p, m: encode(p, cfg, m))(params, mel)
+    _, scores, lengths = beam_decode(
+        params, cfg, enc,
+        GenerationConfig(max_new_tokens=max_new, num_beams=3,
+                         length_penalty=length_penalty),
+    )
+    # the fallback path was really exercised: nothing could finish
+    assert (np.asarray(lengths)[:, 0] == max_new + 1).all()
+    np.testing.assert_allclose(np.asarray(scores)[:, 0], hf_scores,
+                               atol=1e-5, rtol=1e-5)

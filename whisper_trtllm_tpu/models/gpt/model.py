@@ -347,6 +347,42 @@ def generate(params: dict, cfg: GPTConfig, prompt: jnp.ndarray,
     return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_generate_beam(cfg: GPTConfig, prompt_len: int,
+                            max_new_tokens: int, num_beams: int,
+                            length_penalty: float):
+    from whisper_trtllm_tpu.runtime import beam_lm
+
+    def fn(params, prompt):
+        b = prompt.shape[0]
+        max_len = prompt_len + max_new_tokens
+        return beam_lm.beam_generate_tokens(
+            lambda p, t, ck, cv: _prefill(p, cfg, t, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
+            params, prompt,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            prompt_len=prompt_len, max_new_tokens=max_new_tokens,
+            eos_token_id=cfg.eos_token_id, num_beams=num_beams,
+            length_penalty=length_penalty,
+        )
+
+    return jax.jit(fn)
+
+
+def generate_beam(params: dict, cfg: GPTConfig, prompt: jnp.ndarray,
+                  max_new_tokens: int, num_beams: int,
+                  length_penalty: float = 1.0):
+    """Beam search (HF early_stopping=True semantics): prompt (B, P) →
+    (tokens (B, K, P+max_new) best-first, scores, lengths). The reference's
+    beam_width>1 GenerationSession path (reference:
+    tensorrt_llm/runtime/generation.py:898-975) via runtime.beam_lm."""
+    if prompt.shape[1] + max_new_tokens > cfg.n_positions:
+        raise ValueError("prompt_len + max_new_tokens exceeds n_positions")
+    return _compiled_generate_beam(
+        cfg, prompt.shape[1], max_new_tokens, num_beams, length_penalty,
+    )(params, prompt)
+
+
 # -- HF GPT-2 conversion -------------------------------------------------------
 
 def convert_hf_gpt2(hf_model) -> Tuple[dict, GPTConfig]:

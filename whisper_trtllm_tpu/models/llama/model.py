@@ -312,6 +312,41 @@ def generate(params: dict, cfg: LlamaConfig, prompt: jnp.ndarray,
     return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)
 
 
+@functools.lru_cache(maxsize=8)
+def _compiled_generate_beam(cfg: LlamaConfig, prompt_len: int,
+                            max_new_tokens: int, num_beams: int,
+                            length_penalty: float):
+    from whisper_trtllm_tpu.runtime import beam_lm
+
+    def fn(params, prompt):
+        b = prompt.shape[0]
+        max_len = prompt_len + max_new_tokens
+        return beam_lm.beam_generate_tokens(
+            lambda p, t, ck, cv: _prefill(p, cfg, t, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
+            params, prompt,
+            cache_shape=(cfg.n_layer, b, cfg.n_kv_head, max_len, cfg.head_dim),
+            prompt_len=prompt_len, max_new_tokens=max_new_tokens,
+            eos_token_id=cfg.eos_token_id, num_beams=num_beams,
+            length_penalty=length_penalty,
+        )
+
+    return jax.jit(fn)
+
+
+def generate_beam(params: dict, cfg: LlamaConfig, prompt: jnp.ndarray,
+                  max_new_tokens: int, num_beams: int,
+                  length_penalty: float = 1.0):
+    """Beam search (HF early_stopping=True semantics) — see
+    models/gpt/model.py::generate_beam; per-beam RoPE positions come for
+    free (the step contract's scalar pos is shared across beams)."""
+    if prompt.shape[1] + max_new_tokens > cfg.max_positions:
+        raise ValueError("prompt_len + max_new_tokens exceeds max_positions")
+    return _compiled_generate_beam(
+        cfg, prompt.shape[1], max_new_tokens, num_beams, length_penalty,
+    )(params, prompt)
+
+
 # -- HF conversion --------------------------------------------------------------
 
 def convert_hf_llama(hf_model) -> Tuple[dict, LlamaConfig]:

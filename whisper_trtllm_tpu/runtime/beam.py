@@ -122,11 +122,18 @@ def _beam_decode_impl(
             params, cfg, cur, s.pos, s.self_kv, cross_kv
         )
         nxt_pos = s.pos + 1
-        logits = logits + suppress_mask[None]
-        logits = jnp.where(
-            nxt_pos == begin_index, logits + begin_suppress_mask[None], logits
+        # HF applies logits processors to the already-log-softmaxed scores
+        # (generation/utils.py::_beam_search: log_softmax first, then the
+        # processor list) — the suppressed tokens' probability mass stays in
+        # the normalizer. Masking before the softmax would renormalize and
+        # shift every cumulative beam score (verified numerically vs
+        # transformers 4.57 with a non-empty suppress list).
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        logp = logp + suppress_mask[None]
+        logp = jnp.where(
+            nxt_pos == begin_index, logp + begin_suppress_mask[None], logp
         )
-        logp = jax.nn.log_softmax(logits, axis=-1).reshape(batch, k, vocab)
+        logp = logp.reshape(batch, k, vocab)
 
         # forced positions: the forced token gets logp 0, everything else -inf
         forced = forced_map[nxt_pos]
@@ -203,10 +210,14 @@ def _beam_decode_impl(
     final = jax.lax.while_loop(cond, body, state)
 
     # fall back to alive beams only where the finished pool never filled —
-    # with early stopping HF discards alive beams once the pool is full
+    # with early stopping HF discards alive beams once the pool is full.
+    # HF's max-length finalization penalizes by (cur_len + 1 -
+    # decoder_prompt_len): the generated length excluding the start token
+    # (verified numerically vs transformers 4.57 with EOS suppressed so the
+    # pool can never fill) — hence alive_len - 1, not alive_len.
     alive_len = final.pos + 1
     alive_final_scores = final.alive_scores / _length_penalty(
-        alive_len, length_penalty
+        alive_len - 1, length_penalty
     )
     alive_final_scores = jnp.where(
         batch_done(final)[:, None], NEG_INF, alive_final_scores
