@@ -104,6 +104,19 @@ def bench_zoo(name: str, batch: int, in_len: int, out_len: int, dtype: str,
         from whisper_trtllm_tpu.quantization.quantize import weight_only_quantize
 
         params = weight_only_quantize(params)
+    elif quant == "sq":
+        # SmoothQuant int8 act+weight — the reference benchmark's
+        # *_sq configs (reference: benchmarks/allowed_configs.py SmoothQuant
+        # forks of gpt configs); calibration on a synthetic batch here since
+        # benchmark weights are random anyway
+        if fam != "gpt":
+            raise SystemExit("--quant sq supports the gpt family")
+        from whisper_trtllm_tpu.quantization.smooth import (
+            gpt_act_stats, smooth_quantize_gpt)
+
+        cal = jnp.asarray(np.random.default_rng(1).integers(
+            3, cfg.vocab_size, (2, min(64, in_len or 64))).astype(np.int32))
+        params = smooth_quantize_gpt(params, gpt_act_stats(params, cfg, cal))
     if dtype == "bfloat16":
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
@@ -166,7 +179,7 @@ def main():
                     help="prompt length for zoo causal models / BERT seq len")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--num-beams", type=int, default=1)
-    ap.add_argument("--quant", choices=["int8"], default=None,
+    ap.add_argument("--quant", choices=["int8", "sq"], default=None,
                     help="weight-only int8 for zoo models")
     ap.add_argument("--checkpoint", default=None)
     args = ap.parse_args()

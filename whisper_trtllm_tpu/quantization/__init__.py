@@ -13,6 +13,8 @@ from whisper_trtllm_tpu.quantization.quantize import (  # noqa: F401
     weight_only_quantize_int4,
 )
 from whisper_trtllm_tpu.quantization.smooth import (  # noqa: F401
+    gpt_act_stats,
+    smooth_quantize_gpt,
     smooth_quantize_whisper,
     whisper_act_stats,
 )

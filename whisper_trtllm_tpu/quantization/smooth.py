@@ -141,6 +141,56 @@ def _sq_dense(p: dict, act_amax_l: np.ndarray, alpha: float) -> dict:
     return out
 
 
+def gpt_act_stats(params: dict, cfg, tokens: jnp.ndarray) -> dict:
+    """Calibration pass for the GPT family — the reference's
+    smooth_quantize target (reference: tensorrt_llm/models/quantized/
+    quant.py:8 wires SmoothQuant layers into GPT specifically). Mirrors
+    models.gpt.model.forward, recording the abs-max of every dense input:
+    attn_qkv (post ln_1), attn_out (merged attention), fc_in (post ln_2),
+    fc_out (post activation). Returns (L, d_in)-stacked numpy stats."""
+    from whisper_trtllm_tpu.ops.attention import mha as _mha
+
+    s = tokens.shape[1]
+    x = embedding(params["wte"], tokens)
+    x = x + params["wpe"][:s][None]
+
+    def body(x, lp):
+        b, s, d = x.shape
+        h = layer_norm(lp["ln_1"], x, cfg.layer_norm_eps)
+        qkv = dense(lp["attn_qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, s, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
+
+        a = _mha(heads(q) * cfg.head_dim ** -0.5, heads(k), heads(v),
+                 causal=True)
+        a = a.transpose(0, 2, 1, 3).reshape(b, s, d)
+        x = x + dense(lp["attn_out"], a)
+        h2 = layer_norm(lp["ln_2"], x, cfg.layer_norm_eps)
+        mid = ACT2FN[cfg.activation](dense(lp["fc_in"], h2))
+        x = x + dense(lp["fc_out"], mid)
+        stats = {
+            "attn_qkv_in": _amax(h), "attn_out_in": _amax(a),
+            "fc_in_in": _amax(h2), "fc_out_in": _amax(mid),
+        }
+        return x, stats
+
+    _, stats = jax.lax.scan(body, x, params["layers"])
+    return jax.tree_util.tree_map(np.asarray, stats)
+
+
+def smooth_quantize_gpt(params: dict, stats: dict, alpha: float = 0.5) -> dict:
+    """Rewrite a GPT tree with SmoothQuant projections (the reference's
+    smooth_quantize, models/quantized/quant.py:8 — GPT there and here).
+    Embeddings, LayerNorms and the tied vocab head stay floating point."""
+    layers = dict(params["layers"])
+    for name, key in (("attn_qkv", "attn_qkv_in"), ("attn_out", "attn_out_in"),
+                      ("fc_in", "fc_in_in"), ("fc_out", "fc_out_in")):
+        layers[name] = _sq_dense(layers[name], stats[key], alpha)
+    return {**params, "layers": layers}
+
+
 def smooth_quantize_whisper(
     params: dict, stats: dict, alpha: float = 0.5
 ) -> dict:
