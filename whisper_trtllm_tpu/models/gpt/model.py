@@ -99,11 +99,25 @@ def _mlp(lp, x, cfg: GPTConfig):
     return dense(lp["fc_out"], ACT2FN[cfg.activation](dense(lp["fc_in"], h)))
 
 
+def _embed(params, cfg: GPTConfig, tokens, ptuning):
+    """Token embedding, optionally with per-task virtual prompt tokens —
+    ids >= vocab_size index the task's page of the prompt table (the
+    reference's PromptTuningEmbedding + prompt_embedding_table/tasks engine
+    inputs, reference: tensorrt_llm/layers/embedding.py:38-80,
+    tensorrt_llm/runtime/generation.py:501-524)."""
+    if ptuning is None:
+        return embedding(params["wte"], tokens)
+    from whisper_trtllm_tpu.ops.functional import prompt_tuning_embedding
+
+    prompt_table, tasks = ptuning
+    return prompt_tuning_embedding(params["wte"], prompt_table, tokens, tasks)
+
+
 def forward(params: dict, cfg: GPTConfig, tokens: jnp.ndarray,
-            position_offset: int = 0) -> jnp.ndarray:
+            position_offset: int = 0, ptuning=None) -> jnp.ndarray:
     """Teacher-forced forward: tokens (B, S) → logits (B, S, V) fp32."""
     s = tokens.shape[1]
-    x = embedding(params["wte"], tokens)
+    x = _embed(params, cfg, tokens, ptuning)
     x = x + params["wpe"][position_offset : position_offset + s][None]
 
     def body(x, lp):
@@ -118,13 +132,16 @@ def forward(params: dict, cfg: GPTConfig, tokens: jnp.ndarray,
                       preferred_element_type=jnp.float32)
 
 
-def _prefill_hidden(params, cfg: GPTConfig, tokens, cache_k, cache_v):
+def _prefill_hidden(params, cfg: GPTConfig, tokens, cache_k, cache_v,
+                    ptuning=None):
     """Context phase: run the whole prompt once, writing K/V into the static
     cache (the gptAttentionPlugin context phase). Returns final hidden
     states (B, S, d) — shared by the lockstep prefill (projects [:, -1]) and
-    the ragged prefill (gathers each row's last valid position first)."""
+    the ragged prefill (gathers each row's last valid position first).
+    ``ptuning`` only applies here: generated ids are sampled from vocab
+    logits so the generation phase never sees a virtual token."""
     b, s = tokens.shape
-    x = embedding(params["wte"], tokens)
+    x = _embed(params, cfg, tokens, ptuning)
     x = x + params["wpe"][:s][None]
 
     def body(x, xs):
@@ -147,8 +164,9 @@ def _vocab_logits(params, x):
                       preferred_element_type=jnp.float32)
 
 
-def _prefill(params, cfg: GPTConfig, tokens, cache_k, cache_v):
-    x, cache_k, cache_v = _prefill_hidden(params, cfg, tokens, cache_k, cache_v)
+def _prefill(params, cfg: GPTConfig, tokens, cache_k, cache_v, ptuning=None):
+    x, cache_k, cache_v = _prefill_hidden(params, cfg, tokens, cache_k,
+                                          cache_v, ptuning)
     return _vocab_logits(params, x[:, -1]), cache_k, cache_v
 
 
@@ -345,6 +363,40 @@ def generate(params: dict, cfg: GPTConfig, prompt: jnp.ndarray,
     sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
                            seed, do_sample)
     return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate_ptuning(cfg: GPTConfig, prompt_len: int, max_len: int):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
+    def fn(params, prompt, prompt_table, tasks):
+        b = prompt.shape[0]
+        return causal_lm.generate_tokens(
+            lambda p, t, ck, cv: _prefill(p, cfg, t, ck, cv,
+                                          (prompt_table, tasks)),
+            lambda p, tok, pos, ck, cv: _step(p, cfg, tok, pos, ck, cv),
+            params, prompt,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            prompt_len=prompt_len, max_len=max_len,
+            eos_token_id=cfg.eos_token_id,
+        )
+
+    return jax.jit(fn)
+
+
+def generate_ptuning(params: dict, cfg: GPTConfig, prompt: jnp.ndarray,
+                     prompt_table, tasks, max_new_tokens: int) -> jnp.ndarray:
+    """Greedy generation where the prompt may contain virtual tokens
+    (ids >= vocab_size) resolved against a per-task prompt-embedding table
+    (num_tasks, task_vocab, d) — the reference's p-tuning serving path
+    (GenerationSession.decode(..., prompt_embedding_table, tasks,
+    prompt_vocab_size), reference: tensorrt_llm/runtime/generation.py:786 +
+    layers/embedding.py:38-80)."""
+    prompt_len = prompt.shape[1]
+    max_len = min(cfg.n_positions, prompt_len + max_new_tokens)
+    return _compiled_generate_ptuning(cfg, prompt_len, max_len)(
+        params, prompt, jnp.asarray(prompt_table),
+        jnp.asarray(tasks, jnp.int32))
 
 
 @functools.lru_cache(maxsize=16)

@@ -248,18 +248,35 @@ def prompt_tuning_embedding(
     table: jnp.ndarray,
     prompt_table: jnp.ndarray,
     ids: jnp.ndarray,
+    tasks: jnp.ndarray = None,
     dtype=None,
 ) -> jnp.ndarray:
     """Embedding lookup with prompt-tuning slots: ids >= vocab_size index
     into ``prompt_table`` (a learned virtual-token table) instead of the
     vocabulary (analog of reference:
-    tensorrt_llm/layers/embedding.py:33-80 PromptTuningEmbedding)."""
+    tensorrt_llm/layers/embedding.py:33-80 PromptTuningEmbedding).
+
+    With ``tasks`` (B,) given, ``prompt_table`` is per-task pages
+    (num_tasks, task_vocab, d) and id - vocab_size indexes the row's task
+    page — the reference's multi-task serving inputs
+    prompt_embedding_table/tasks/prompt_vocab_size (reference:
+    tensorrt_llm/runtime/generation.py:501-524). The reference flattens the
+    pages into one buffer and offsets ids by tasks * task_vocab_size; a 3-D
+    table with a two-level gather is the same lookup without the offset
+    arithmetic. Without ``tasks``, ``prompt_table`` is a single (P, d)
+    table shared by the whole batch."""
     vocab = table.shape[0]
     is_prompt = ids >= vocab
     tok = jnp.take(table, jnp.where(is_prompt, 0, ids), axis=0)
-    vt = jnp.take(prompt_table,
-                  jnp.clip(ids - vocab, 0, prompt_table.shape[0] - 1), axis=0)
-    out = jnp.where(is_prompt[..., None], vt, tok)
+    if tasks is None:
+        vt = jnp.take(
+            prompt_table,
+            jnp.clip(ids - vocab, 0, prompt_table.shape[0] - 1), axis=0)
+    else:
+        virt = jnp.clip(ids - vocab, 0, prompt_table.shape[1] - 1)
+        pages = jnp.take(prompt_table, tasks, axis=0)  # (B, task_vocab, d)
+        vt = jnp.take_along_axis(pages, virt[:, :, None], axis=1)
+    out = jnp.where(is_prompt[..., None], vt.astype(tok.dtype), tok)
     return out.astype(dtype) if dtype is not None else out
 
 
