@@ -138,3 +138,139 @@ def test_flash_mha_grad_matches_xla(rng, b, h, s, t, dh):
     for a, b_ in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-5, rtol=1e-4)
+
+
+class TestFusedDecoderLayerStep:
+    """Whole-layer fused decode kernel (ops/pallas/fused_decoder_step.py)
+    vs the XLA layer math of models.whisper.decode_step_kv."""
+
+    def _layer(self, rng, d=64, heads=4, ffn=128):
+        from whisper_trtllm_tpu.layers.init import (
+            init_attention, init_dense, init_layer_norm)
+
+        r = np.random.default_rng(3)
+        return {
+            "self_attn_layer_norm": init_layer_norm(d),
+            "self_attn": init_attention(r, d),
+            "encoder_attn_layer_norm": init_layer_norm(d),
+            "encoder_attn": init_attention(r, d),
+            "final_layer_norm": init_layer_norm(d),
+            "fc1": init_dense(r, d, ffn),
+            "fc2": init_dense(r, ffn, d),
+        }
+
+    def _reference(self, lp, x, pos, sk, sv, ck, cv, enc_len, heads):
+        """The exact decode_step_kv float-path layer body."""
+        import jax
+
+        from whisper_trtllm_tpu.layers.transformer import (
+            attention_qkv, merge_heads)
+        from whisper_trtllm_tpu.models.whisper.model import cross_attention_q
+        from whisper_trtllm_tpu.ops.attention import (
+            mha_decode_step, update_kv_cache)
+        from whisper_trtllm_tpu.ops.functional import dense, layer_norm
+        from whisper_trtllm_tpu.layers.transformer import mlp_block
+
+        h = layer_norm(lp["self_attn_layer_norm"], x)
+        q, k_new, v_new = attention_qkv(lp["self_attn"], h, None, heads)
+        sk, sv = update_kv_cache(sk, sv, k_new, v_new, pos)
+        a = mha_decode_step(q, sk, sv, pos + 1)
+        x = x + dense(lp["self_attn"]["out"], merge_heads(a))
+        h = layer_norm(lp["encoder_attn_layer_norm"], x)
+        qc = cross_attention_q(lp, h, heads)
+        a = mha_decode_step(qc, ck, cv, enc_len)
+        x = x + dense(lp["encoder_attn"]["out"], merge_heads(a))
+        h = layer_norm(lp["final_layer_norm"], x)
+        x = x + mlp_block(lp, h)
+        return x, sk, sv
+
+    @pytest.mark.parametrize("pos,enc_frac", [(0, 0.97), (5, 1.0), (14, 0.5)])
+    def test_matches_xla_layer(self, rng, pos, enc_frac):
+        import jax
+
+        from whisper_trtllm_tpu.layers.transformer import split_heads
+        from whisper_trtllm_tpu.ops.attention import update_kv_cache
+        from whisper_trtllm_tpu.ops.functional import dense, layer_norm
+        from whisper_trtllm_tpu.ops.pallas.fused_decoder_step import (
+            fused_decoder_layer_step)
+
+        from whisper_trtllm_tpu.ops.pallas.fused_decoder_step import (
+            CROSS_BLOCK)
+
+        b, d, heads, ffn, ts = 2, 64, 4, 128, 16
+        tc = 2 * CROSS_BLOCK
+        enc_len = max(1, int(tc * enc_frac))
+        dh = d // heads
+        lp = self._layer(rng, d, heads, ffn)
+        x = rng.standard_normal((b, 1, d)).astype(np.float32) * 0.5
+        sk = rng.standard_normal((b, heads, ts, dh)).astype(np.float32) * 0.3
+        sv = rng.standard_normal((b, heads, ts, dh)).astype(np.float32)
+        ck = rng.standard_normal((b, heads, tc, dh)).astype(np.float32) * 0.3
+        cv = rng.standard_normal((b, heads, tc, dh)).astype(np.float32)
+        posj = jnp.int32(pos)
+
+        ref_x, ref_sk, ref_sv = self._reference(
+            lp, jnp.asarray(x), posj, jnp.asarray(sk), jnp.asarray(sv),
+            jnp.asarray(ck), jnp.asarray(cv), jnp.int32(enc_len), heads)
+
+        # fused path: LN1 + K/V append outside, kernel for the rest
+        h = layer_norm(lp["self_attn_layer_norm"], jnp.asarray(x))
+        k_new = split_heads(dense(lp["self_attn"]["k"], h), heads)
+        v_new = split_heads(dense(lp["self_attn"]["v"], h), heads)
+        sk2, sv2 = update_kv_cache(jnp.asarray(sk), jnp.asarray(sv),
+                                   k_new, v_new, posj)
+        out = fused_decoder_layer_step(
+            jnp.asarray(x)[:, 0], h[:, 0], posj, lp, sk2, sv2,
+            jnp.asarray(ck), jnp.asarray(cv), enc_len, interpret=True)
+
+        np.testing.assert_allclose(np.asarray(sk2), np.asarray(ref_sk),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_x)[:, 0],
+                                   atol=3e-5, rtol=1e-4)
+
+    def test_decode_step_kv_fused_parity(self, rng, monkeypatch):
+        """Full decode_step_kv with the fused path force-enabled (interpret
+        mode) equals the XLA path — the whole-model integration check."""
+        import functools
+
+        import jax
+
+        from whisper_trtllm_tpu import config as cfgmod
+        from whisper_trtllm_tpu.models.whisper import init_params
+        from whisper_trtllm_tpu.models.whisper import model as wmodel
+        from whisper_trtllm_tpu.ops import pallas as pk
+
+        cfg = cfgmod.WhisperConfig.testing()
+        params = init_params(cfg, seed=0)
+        b = 2
+        enc = rng.standard_normal(
+            (b, cfg.max_source_positions, cfg.d_model)).astype(np.float32)
+        # XLA reference
+        ck, cv = wmodel.compute_cross_kv(params, cfg, jnp.asarray(enc))
+        sk, sv = wmodel.init_self_kv(cfg, b, 16)
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b,)), jnp.int32)
+        ref_logits, (ref_sk, ref_sv) = wmodel.decode_step_kv(
+            params, cfg, toks, jnp.int32(3), (sk, sv), (ck, cv))
+
+        # force-enable the fused path in interpret mode; pad cross to the
+        # kernel's block multiple the way compute_cross_kv would on TPU
+        from whisper_trtllm_tpu.ops.pallas.fused_decoder_step import (
+            CROSS_BLOCK, fused_decoder_layer_step)
+
+        pad = (-ck.shape[3]) % CROSS_BLOCK
+        ckp = jnp.pad(ck, [(0, 0)] * 3 + [(0, pad), (0, 0)])
+        cvp = jnp.pad(cv, [(0, 0)] * 3 + [(0, pad), (0, 0)])
+        monkeypatch.setattr(pk, "fused_decode_enabled", lambda: True)
+        monkeypatch.setattr(pk, "fused_layer_supported",
+                            lambda *a, **k: True)
+        monkeypatch.setattr(
+            pk, "fused_decoder_layer_step",
+            functools.partial(fused_decoder_layer_step, interpret=True))
+        out_logits, (out_sk, out_sv) = wmodel.decode_step_kv(
+            params, cfg, toks, jnp.int32(3), (sk, sv), (ckp, cvp))
+
+        np.testing.assert_allclose(np.asarray(out_sk), np.asarray(ref_sk),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_logits),
+                                   np.asarray(ref_logits),
+                                   atol=5e-5, rtol=1e-4)

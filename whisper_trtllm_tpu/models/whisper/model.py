@@ -277,9 +277,17 @@ def compute_cross_kv(
 
     _, (ks, vs) = jax.lax.scan(body, None, params["decoder"]["layers"])
     # pad T to a multiple of 8 (sublane alignment for the Pallas decode
-    # kernel; 1500 → 1504). Padding is masked out via the true length in
-    # decode_step, so it never contributes to the softmax.
-    pad = (-ks.shape[3]) % 8
+    # kernel; 1500 → 1504) — or of the fused decode kernel's streaming block
+    # (1500 → 1536) when that path is enabled. Padding is masked out via the
+    # true length in decode_step, so it never contributes to the softmax.
+    from whisper_trtllm_tpu.ops.pallas import fused_decode_enabled
+
+    mult = 8
+    if fused_decode_enabled():
+        from whisper_trtllm_tpu.ops.pallas.fused_decoder_step import CROSS_BLOCK
+
+        mult = CROSS_BLOCK
+    pad = (-ks.shape[3]) % mult
     if pad:
         widths = [(0, 0)] * 5
         widths[3] = (0, pad)
@@ -338,6 +346,61 @@ def init_self_kv_int8(
     return init_self_kv_quant(cfg, batch, max_len, jnp.int8)
 
 
+def _fused_decode_ok(dec: dict, self_k: jnp.ndarray,
+                     cross_k: jnp.ndarray, pos) -> bool:
+    """Gate for the fused whole-layer decode kernel: float caches, lockstep
+    scalar position, unfused unquantized projections, and a VMEM fit
+    (ops/pallas/fused_decoder_step.py)."""
+    from whisper_trtllm_tpu.ops.pallas import (
+        fused_decode_enabled,
+        fused_layer_supported,
+    )
+
+    if not fused_decode_enabled():
+        return False
+    if getattr(pos, "ndim", 0) != 0:
+        return False
+    lp = dec["layers"]
+    sa, ca = lp["self_attn"], lp["encoder_attn"]
+    if "qkv" in sa:
+        return False
+    for blk in (sa["q"], sa["k"], sa["v"], sa["out"], ca["q"], ca["out"],
+                lp["fc1"], lp["fc2"]):
+        if "kernel" not in blk:
+            return False
+    _, b, h, ts, dh = self_k.shape
+    d = h * dh
+    ffn = lp["fc1"]["kernel"].shape[-1]
+    return fused_layer_supported(
+        b, h, ts, dh, cross_k.shape[3], d, ffn, self_k.dtype.itemsize)
+
+
+def _decode_step_fused(dec, cfg: WhisperConfig, x, pos, self_kv, cross_kv):
+    """decode_step_kv's layer loop via the fused Pallas kernel: per layer,
+    XLA does LN1 + the K/V projections + the one-row in-place cache append,
+    the kernel does everything else in one launch."""
+    from whisper_trtllm_tpu.ops.pallas import fused_decoder_layer_step
+
+    heads = cfg.decoder_attention_heads
+    enc_len = int(cfg.max_source_positions)
+
+    def body(x, xs):
+        lp, sk, sv, ck, cv = xs
+        h = layer_norm(lp["self_attn_layer_norm"], x)
+        sa = lp["self_attn"]
+        k_new = split_heads(dense(sa["k"], h), heads)
+        v_new = split_heads(dense(sa["v"], h), heads)
+        sk, sv = update_kv_cache(sk, sv, k_new, v_new, pos)
+        x2 = fused_decoder_layer_step(
+            x[:, 0], h[:, 0], pos, lp, sk, sv, ck, cv, enc_len)
+        return x2[:, None], (sk, sv)
+
+    x, new_self = jax.lax.scan(
+        body, x, (dec["layers"],) + tuple(self_kv) + tuple(cross_kv))
+    x = layer_norm(dec["layer_norm"], x)
+    return _vocab_logits(dec, x)[:, 0], new_self
+
+
 def decode_step_kv(
     params: dict,
     cfg: WhisperConfig,
@@ -364,6 +427,11 @@ def decode_step_kv(
     x = x + jax.lax.dynamic_slice_in_dim(
         dec["embed_positions"], pos, 1, axis=0
     ).astype(x.dtype)[None]
+
+    if not (int8_self or int8_cross) and _fused_decode_ok(
+        dec, self_kv[0], cross_kv[0], pos
+    ):
+        return _decode_step_fused(dec, cfg, x, pos, self_kv, cross_kv)
 
     def body(x, xs):
         lp = xs[0]

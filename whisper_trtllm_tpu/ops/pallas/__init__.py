@@ -41,7 +41,24 @@ def pallas_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def fused_decode_enabled() -> bool:
+    """The fused whole-layer decode kernel
+    (ops/pallas/fused_decoder_step.py) — opt-in via
+    WHISPER_TPU_FUSED_DECODE=1 and gated by fused_layer_supported()
+    (VMEM fit). Measured SLOWER than the XLA decode step on v5e at every
+    block size tried (docs/PERFORMANCE.md), same verdict as the standalone
+    decode/cross kernels: at one token per step XLA's scheduling beats
+    Mosaic's sequential kernel body. Kept as a parity-tested ablation."""
+    if os.environ.get("WHISPER_TPU_FUSED_DECODE") != "1":
+        return False
+    return pallas_enabled()
+
+
 from whisper_trtllm_tpu.ops.pallas.flash_attention import flash_mha  # noqa: E402,F401
 from whisper_trtllm_tpu.ops.pallas.decode_attention import (  # noqa: E402,F401
     decode_mha,
+)
+from whisper_trtllm_tpu.ops.pallas.fused_decoder_step import (  # noqa: E402,F401
+    fused_decoder_layer_step,
+    fused_layer_supported,
 )
