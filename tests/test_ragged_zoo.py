@@ -17,6 +17,7 @@ CASES = [
     ("gptj", "GPTJConfig"),
     ("gptneox", "GPTNeoXConfig"),
     ("bloom", "BloomConfig"),
+    ("chatglm6b", "ChatGLM6BConfig"),
 ]
 
 

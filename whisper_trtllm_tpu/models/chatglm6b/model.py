@@ -203,9 +203,16 @@ def _prefill(params, cfg: ChatGLM6BConfig, tokens, position_ids, ctx_len,
     cos0, sin0 = glm_rope_tables(quarter, position_ids[:, 0])
     cos1, sin1 = glm_rope_tables(quarter, position_ids[:, 1])
 
+    per_lane = getattr(ctx_len, "ndim", 0) == 1
     q_pos = jnp.arange(s)[:, None]
     k_pos = jnp.arange(s)[None, :]
-    allowed = (k_pos < ctx_len) | (k_pos <= q_pos)
+    if per_lane:
+        # per-row prefix boundary (ragged right-padded batch): the GLM
+        # prefix-LM mask with each row's own ctx_len
+        allowed = ((k_pos[None] < ctx_len[:, None, None])
+                   | (k_pos <= q_pos)[None])[:, None]       # (B, 1, S, S)
+    else:
+        allowed = ((k_pos < ctx_len) | (k_pos <= q_pos))[None, None]
 
     def heads(t):
         return t.reshape(b, s, cfg.n_head, dh).transpose(0, 2, 1, 3)
@@ -220,7 +227,7 @@ def _prefill(params, cfg: ChatGLM6BConfig, tokens, position_ids, ctx_len,
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
         scores = jnp.einsum("bhqd,bhkd->bhqk", q * dh ** -0.5, k,
                             preferred_element_type=jnp.float32)
-        scores = jnp.where(allowed[None, None], scores, -1e9)
+        scores = jnp.where(allowed, scores, -1e9)
         p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         a = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         a = a.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
@@ -234,7 +241,13 @@ def _prefill(params, cfg: ChatGLM6BConfig, tokens, position_ids, ctx_len,
         body, x, (params["layers"], cache_k, cache_v)
     )
     x = layer_norm(params["final_ln"], x)
-    logits = dense(params["lm_head"], x[:, -1]).astype(jnp.float32)
+    if per_lane:
+        from whisper_trtllm_tpu.ops.functional import gather_last_token_logits
+
+        x_last = gather_last_token_logits(x, ctx_len)
+    else:
+        x_last = x[:, -1]
+    logits = dense(params["lm_head"], x_last).astype(jnp.float32)
     return logits, cache_k, cache_v
 
 
@@ -251,8 +264,11 @@ def _step(params, cfg: ChatGLM6BConfig, tok, pos, mask_pos, ctx_len,
     x = embedding(params["embed_tokens"], tok[:, None])
 
     quarter = dh // 2
-    p0 = jnp.full((b, 1), mask_pos, jnp.int32)
-    p1 = jnp.full((b, 1), 0, jnp.int32) + (pos - (ctx_len - 1))
+    # mask_pos / ctx_len / pos are scalars (lockstep) or (B,) vectors
+    # (ragged batches — each lane's own [gMASK] index and prefix length)
+    lanes = jnp.zeros((b,), jnp.int32)
+    p0 = (lanes + jnp.asarray(mask_pos, jnp.int32))[:, None]
+    p1 = (lanes + pos - (jnp.asarray(ctx_len, jnp.int32) - 1))[:, None]
     cos0, sin0 = glm_rope_tables(quarter, p0)
     cos1, sin1 = glm_rope_tables(quarter, p1)
 
@@ -329,6 +345,63 @@ def generate(params: dict, cfg: ChatGLM6BConfig, prompt: jnp.ndarray,
                            seed, do_sample)
     return _compiled_generate(cfg, prompt_len, max_len, int(mask_pos), sc)(
         params, prompt)
+
+
+def _prefill_ragged(params, cfg: ChatGLM6BConfig, tokens, lens,
+                    cache_k, cache_v):
+    """Context phase over a right-padded ragged batch: per-row GLM position
+    ids (ch0 = arange clamped to the row's [gMASK], ch1 = 0 over the
+    prefix), per-row prefix-LM mask, logits gathered at each row's last
+    valid position."""
+    b, s = tokens.shape
+    ar = jnp.arange(s, dtype=jnp.int32)
+    pos0 = jnp.where(ar[None] < lens[:, None], ar[None], (lens - 2)[:, None])
+    pos1 = jnp.maximum(ar[None] - (lens[:, None] - 1), 0)
+    position_ids = jnp.stack([pos0, pos1], axis=1)          # (B, 2, S)
+    return _prefill(params, cfg, tokens, position_ids, lens,
+                    cache_k, cache_v)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_generate_ragged(cfg: ChatGLM6BConfig, prompt_pad: int,
+                              max_new_tokens: int, sampling_cfg=None):
+    from whisper_trtllm_tpu.runtime import causal_lm
+
+    def fn(params, prompt, lens):
+        b = prompt.shape[0]
+        max_len = prompt_pad + max_new_tokens
+        mask_pos = lens - 2                                  # GLM convention
+        return causal_lm.generate_tokens_ragged(
+            lambda p, t, l, ck, cv: _prefill_ragged(p, cfg, t, l, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(
+                p, cfg, tok, pos, mask_pos, lens, ck, cv),
+            params, prompt, lens,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            max_new_tokens=max_new_tokens,
+            eos_token_id=cfg.eos_token_id, sampling_cfg=sampling_cfg,
+        )
+
+    return jax.jit(fn)
+
+
+def generate_ragged(params: dict, cfg: ChatGLM6BConfig, prompt: jnp.ndarray,
+                    prompt_lens, max_new_tokens: int,
+                    temperature: float = 1.0, top_k: int = 0,
+                    top_p: float = 0.0, repetition_penalty: float = 1.0,
+                    seed: int = 0, do_sample: bool = False) -> jnp.ndarray:
+    """Ragged (per-row input-length) GLM generation: each lane carries its
+    own [gMASK] index (lens-2), prefix boundary, and 2D-rope block
+    positions — the last zoo family to gain the reference's
+    decode(input_ids, input_lengths) path (reference:
+    tensorrt_llm/runtime/generation.py:782,1000; the dedicated GLM session
+    exists precisely because these position ids differ per step)."""
+    from whisper_trtllm_tpu.runtime.causal_lm import make_sampling_cfg
+
+    sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
+                           seed, do_sample)
+    prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
+    return _compiled_generate_ragged(
+        cfg, prompt.shape[1], max_new_tokens, sc)(params, prompt, prompt_lens)
 
 
 def convert_hf_chatglm6b(state_dict: dict, cfg: ChatGLM6BConfig) -> dict:
