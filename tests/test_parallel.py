@@ -244,3 +244,50 @@ def test_beam_search_sharded_matches_single_device(cfg, rng):
     np.testing.assert_allclose(
         np.asarray(scores), np.asarray(ref_scores), atol=1e-5, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(lens), np.asarray(ref_lens))
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_zoo_gpt_tp_matches_single_device(rng, mesh_shape):
+    """TP for the zoo, not just Whisper: GPT generation under a sharded
+    tree must equal single-device exactly (the reference applies
+    ColumnLinear/RowLinear TP to every family; per-rank engines,
+    examples/gpt/build.py:24-25)."""
+    from whisper_trtllm_tpu.models import gpt
+    from whisper_trtllm_tpu.parallel import shard_zoo_params
+
+    cfg = gpt.GPTConfig.testing(d_model=64, n_head=4, ffn_dim=128)
+    params = gpt.init_params(cfg, seed=0)
+    prompt = rng.integers(3, cfg.vocab_size, (8, 4)).astype(np.int32)
+
+    ref = np.asarray(gpt.generate(params, cfg, jnp.asarray(prompt),
+                                  max_new_tokens=6))
+
+    mesh = make_mesh(MeshConfig(*mesh_shape))
+    sharded = shard_zoo_params(params, mesh, "gpt")
+    qk = sharded["layers"]["attn_qkv"]["kernel"]
+    assert qk.sharding.spec == P(None, None, "model")
+    prompt_sharded = jax.device_put(
+        jnp.asarray(prompt), NamedSharding(mesh, P("data")))
+    with mesh:
+        out = np.asarray(gpt.generate(sharded, cfg, prompt_sharded,
+                                      max_new_tokens=6))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_zoo_llama_tp_matches_single_device(rng):
+    """LLaMA (GQA + gated MLP + untied head) under 4-way TP."""
+    from whisper_trtllm_tpu.models import llama
+    from whisper_trtllm_tpu.parallel import shard_zoo_params
+
+    cfg = llama.LlamaConfig.testing()
+    params = llama.init_params(cfg, seed=0)
+    prompt = rng.integers(3, cfg.vocab_size, (4, 5)).astype(np.int32)
+
+    ref = np.asarray(llama.generate(params, cfg, jnp.asarray(prompt),
+                                    max_new_tokens=6))
+    mesh = make_mesh(MeshConfig(2, 4))
+    sharded = shard_zoo_params(params, mesh, "llama")
+    with mesh:
+        out = np.asarray(llama.generate(sharded, cfg, jnp.asarray(prompt),
+                                        max_new_tokens=6))
+    np.testing.assert_array_equal(out, ref)

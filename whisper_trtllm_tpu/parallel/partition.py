@@ -103,6 +103,69 @@ def _adapt_specs_to_quantized(params, specs):
     return specs
 
 
+def gpt_partition_specs() -> dict:
+    """PartitionSpec tree for models.gpt trees — the reference applies
+    ColumnLinear/RowLinear TP to every zoo family, not just Whisper
+    (reference: tensorrt_llm/models/gpt/model.py uses the same TP layers;
+    per-rank engines examples/gpt/build.py:24-25). The fused QKV kernel
+    shards on its output dim: XLA's SPMD partitioner keeps the global
+    semantics regardless of which q/k/v columns land on which device."""
+    col = {"kernel": P(None, None, "model"), "bias": P(None, "model")}
+    row = {"kernel": P(None, "model", None), "bias": P(None)}
+    return {
+        "wte": P(),                    # replicated: tied vocab head
+        "wpe": P(),
+        "layers": {
+            "ln_1": _ln_spec(),
+            "attn_qkv": dict(col),
+            "attn_out": row,
+            "ln_2": _ln_spec(),
+            "fc_in": dict(col),
+            "fc_out": dict(row),
+        },
+        "ln_f": {"scale": P(), "bias": P()},
+    }
+
+
+def llama_partition_specs(tie_word_embeddings: bool = True) -> dict:
+    """PartitionSpec tree for models.llama trees (column-shard q/k/v/gate/up
+    on output dims — GQA KV heads shard the same way — row-shard o/down)."""
+    col = {"kernel": P(None, None, "model")}
+    row = {"kernel": P(None, "model", None)}
+    norm = {"scale": P(None, None)}
+    spec = {
+        "embed_tokens": P(),
+        "layers": {
+            "input_norm": norm,
+            "q": dict(col), "k": dict(col), "v": dict(col), "o": row,
+            "post_norm": norm,
+            "gate": dict(col), "up": dict(col), "down": dict(row),
+        },
+        "norm": {"scale": P()},
+    }
+    if not tie_word_embeddings:
+        spec["lm_head"] = {"kernel": P(None, "model")}
+    return spec
+
+
+def shard_zoo_params(params: dict, mesh: Mesh, family: str) -> dict:
+    """shard_params for a zoo tree by family name ('gpt' or 'llama')."""
+    if family == "gpt":
+        specs = gpt_partition_specs()
+    elif family == "llama":
+        specs = llama_partition_specs("lm_head" not in params)
+        if "lm_head" in params:
+            vocab = params["lm_head"]["kernel"].shape[-1]
+            if vocab % mesh.shape.get("model", 1) != 0:
+                # the reference pads the vocab to make it divisible
+                # (pad_vocab_size, tensorrt_llm/_utils.py:194); replicating
+                # the head is the padding-free equivalent
+                specs["lm_head"] = {"kernel": P()}
+    else:
+        raise ValueError(f"no partition specs for family {family!r}")
+    return shard_params(params, mesh, specs)
+
+
 def shard_params(params: dict, mesh: Mesh, specs: Optional[dict] = None) -> dict:
     """device_put the tree with NamedShardings (the 'engine load' step of a
     TP deployment — replaces per-rank engine files, reference:
