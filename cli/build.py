@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--max-new-tokens", type=int, default=224)
+    ap.add_argument("--export-engines", action="store_true",
+                    help="also write serialized engine files (one per "
+                    "warmup batch size) loadable via utils.engine — the "
+                    "reference's .engine artifact analog")
     args = ap.parse_args()
 
     from whisper_trtllm_tpu.config import GenerationConfig, RuntimeConfig
@@ -55,6 +59,12 @@ def main():
         t0 = time.time()
         sess.warmup(batch=b)
         print(f"compiled batch={b} in {time.time() - t0:.1f}s")
+        if args.export_engines:
+            import os
+
+            path = os.path.join(args.output, f"whisper_b{b}.engine")
+            nbytes = sess.export_engine(path, batch=b)
+            print(f"serialized engine batch={b}: {path} ({nbytes} bytes)")
 
 
 if __name__ == "__main__":

@@ -164,3 +164,41 @@ def test_unknown_weight_dtype_raises(cfg, params):
     with pytest.raises(ValueError, match="unknown weight_dtype"):
         WhisperSession(params, cfg, GenerationConfig(max_new_tokens=4),
                        RuntimeConfig(weight_dtype="int-8"))
+
+
+def test_engine_export_roundtrip(tmp_path, rng):
+    """Serialized engine artifact (utils/engine.py): export the jitted
+    pipeline, reload it, and get identical transcriptions — the analog of
+    the reference's serialize_engine -> deserialize flow
+    (reference: examples/whisper/build_encoder.py:14-21 + run.py:61-63),
+    including weight refit (the engine takes params as an argument)."""
+    import jax.numpy as jnp
+
+    from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+    from whisper_trtllm_tpu.models.whisper import init_params
+    from whisper_trtllm_tpu.runtime import WhisperSession
+    from whisper_trtllm_tpu.utils.engine import load_engine
+
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    sess = WhisperSession(params, cfg, GenerationConfig(max_new_tokens=6))
+    path = str(tmp_path / "whisper.engine")
+    nbytes = sess.export_engine(path, batch=2)
+    assert nbytes > 0
+
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    ref_tokens, ref_lens = sess.transcribe_features(mel)
+
+    eng = load_engine(path)
+    tokens, lens = eng(sess.params, jnp.asarray(mel))
+    np.testing.assert_array_equal(np.asarray(tokens), ref_tokens)
+    np.testing.assert_array_equal(np.asarray(lens), ref_lens)
+
+    # refit: different weights through the SAME engine
+    params2 = init_params(cfg, seed=1)
+    sess2 = WhisperSession(params2, cfg, GenerationConfig(max_new_tokens=6))
+    ref2, _ = sess2.transcribe_features(mel)
+    out2, _ = eng(sess2.params, jnp.asarray(mel))
+    np.testing.assert_array_equal(np.asarray(out2), ref2)

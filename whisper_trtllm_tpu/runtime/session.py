@@ -164,3 +164,21 @@ class WhisperSession:
                          self.cfg.num_mel_bins), self._dtype)
         tokens, _ = self._pipeline(self.params, mel)
         tokens.block_until_ready()
+
+    def export_engine(self, path: str, batch: int = 1) -> int:
+        """Serialize the full transcribe pipeline at this batch size to a
+        self-contained engine file — the analog of the reference's
+        serialized ``.engine`` artifact (reference:
+        examples/whisper/build_encoder.py:14-21,109; deserialized by
+        examples/whisper/run.py:61-63). The engine takes (params, mel), so
+        it stays weight-refittable like a TRT refit engine. Load with
+        utils.engine.load_engine — no model code needed at serving time."""
+        from whisper_trtllm_tpu.utils.engine import save_engine
+
+        mel = jax.ShapeDtypeStruct(
+            (batch, 2 * self.cfg.max_source_positions,
+             self.cfg.num_mel_bins), self._dtype)
+        params_avals = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+            self.params)
+        return save_engine(path, self._pipeline, params_avals, mel)
