@@ -100,9 +100,15 @@ def main():
     ap.add_argument("--max-new-tokens", type=int, default=224)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--hf-model", default=None, help="tokenizer for text output")
-    ap.add_argument("--backend", default="slots", choices=["slots", "ifb"],
+    ap.add_argument("--backend", default="slots",
+                    choices=["slots", "ifb", "sched"],
                     help="slots: utterance-level batch lanes; ifb: token-level "
-                         "in-flight batching (continuous)")
+                         "in-flight batching (continuous); sched: native "
+                         "policy scheduler (priorities, deadlines, "
+                         "tail-latency guard)")
+    ap.add_argument("--max-wait-ms", type=int, default=20,
+                    help="sched backend: launch a partial batch once the "
+                         "oldest request has waited this long")
     args = ap.parse_args()
 
     from whisper_trtllm_tpu.config import GenerationConfig, RuntimeConfig
@@ -124,6 +130,14 @@ def main():
             GenerationConfig(max_new_tokens=args.max_new_tokens),
             num_slots=args.num_slots,
         )
+    elif args.backend == "sched":
+        from whisper_trtllm_tpu.runtime.server import (
+            ScheduledTranscriptionServer)
+
+        server = ScheduledTranscriptionServer(
+            sess,
+            allowed_batch_sizes=sorted({1, 2, 4, args.num_slots}),
+            max_wait_ms=args.max_wait_ms)
     else:
         server = TranscriptionServer(sess, num_slots=args.num_slots)
     state = {"server": server, "specials": {

@@ -79,3 +79,77 @@ int64_t wtpu_pending(void* sm) {
 }
 
 }  // extern "C"
+
+// ---- BatchScheduler ---------------------------------------------------------
+
+#include "wtpu/scheduler.h"
+
+#include <algorithm>
+
+extern "C" {
+
+void* wtpu_scheduler_new(const int* sizes, int n_sizes, int64_t max_wait_ms) {
+  std::vector<int> allowed(sizes, sizes + n_sizes);
+  std::sort(allowed.begin(), allowed.end());
+  return new wtpu::BatchScheduler(std::move(allowed), max_wait_ms);
+}
+
+void wtpu_scheduler_free(void* s) {
+  delete static_cast<wtpu::BatchScheduler*>(s);
+}
+
+void wtpu_scheduler_submit(void* s, int64_t request_id, int priority,
+                           int64_t timeout_ms) {
+  static_cast<wtpu::BatchScheduler*>(s)->Submit(request_id, priority,
+                                                timeout_ms);
+}
+
+// Returns batch size; writes up to batch_cap ids and up to expired_cap
+// expired ids (count into *n_expired).
+int wtpu_scheduler_poll(void* s, int64_t* batch, int64_t batch_cap,
+                        int64_t* expired, int64_t expired_cap,
+                        int64_t* n_expired) {
+  std::vector<int64_t> b, e;
+  int n = static_cast<wtpu::BatchScheduler*>(s)->Poll(&b, &e);
+  for (int64_t i = 0; i < static_cast<int64_t>(b.size()) && i < batch_cap; ++i)
+    batch[i] = b[i];
+  int64_t ne = static_cast<int64_t>(e.size());
+  if (ne > expired_cap) ne = expired_cap;
+  for (int64_t i = 0; i < ne; ++i) expired[i] = e[i];
+  if (n_expired) *n_expired = ne;
+  return n;
+}
+
+int wtpu_scheduler_flush(void* s, int64_t* batch, int64_t cap) {
+  std::vector<int64_t> b;
+  int n = static_cast<wtpu::BatchScheduler*>(s)->Flush(&b);
+  for (int64_t i = 0; i < static_cast<int64_t>(b.size()) && i < cap; ++i)
+    batch[i] = b[i];
+  return n;
+}
+
+int64_t wtpu_scheduler_pending(void* s) {
+  return static_cast<wtpu::BatchScheduler*>(s)->pending();
+}
+
+// out6: submitted, launched_batches, launched_requests, expired,
+//       queue-delay p50 us, p95 us
+void wtpu_scheduler_stats(void* s, int64_t* out6) {
+  auto st = static_cast<wtpu::BatchScheduler*>(s)->stats();
+  out6[0] = st.submitted;
+  out6[1] = st.launched_batches;
+  out6[2] = st.launched_requests;
+  out6[3] = st.expired;
+  if (st.delays_us.empty()) {
+    out6[4] = out6[5] = 0;
+    return;
+  }
+  std::vector<int64_t> d = st.delays_us;
+  std::sort(d.begin(), d.end());
+  out6[4] = d[d.size() / 2];
+  out6[5] = d[static_cast<size_t>(d.size() * 0.95) < d.size()
+                  ? static_cast<size_t>(d.size() * 0.95)
+                  : d.size() - 1];
+}
+
+}  // extern "C"

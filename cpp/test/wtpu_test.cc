@@ -5,8 +5,11 @@
 #include <cmath>
 #include <cstdio>
 #include <cstring>
+#include <chrono>
+#include <thread>
 #include <vector>
 
+#include "wtpu/scheduler.h"
 #include "wtpu/slot_manager.h"
 #include "wtpu/wav.h"
 
@@ -87,12 +90,64 @@ void TestSlotManager() {
   std::printf("TestSlotManager OK\n");
 }
 
+void TestBatchScheduler() {
+  // allowed sizes {2, 4}, 50 ms tail guard
+  wtpu::BatchScheduler sched({2, 4}, 50);
+  std::vector<int64_t> batch, expired;
+
+  // nothing pending -> nothing launches
+  assert(sched.Poll(&batch, &expired) == 0);
+
+  // 4 requests fill the largest allowed size immediately
+  for (int i = 1; i <= 4; ++i) sched.Submit(i, /*priority=*/0, 0);
+  assert(sched.Poll(&batch, &expired) == 4);
+  assert(batch[0] == 1 && batch[3] == 4);
+
+  // priority beats FIFO: 11 jumps ahead of 10
+  sched.Submit(10, 0, 0);
+  sched.Submit(11, 5, 0);
+  sched.Submit(12, 0, 0);
+  sched.Submit(13, 0, 0);
+  assert(sched.Poll(&batch, &expired) == 4);
+  assert(batch[0] == 11 && batch[1] == 10);
+
+  // below max batch: waits for the tail guard, then launches the largest
+  // allowed size <= pending
+  sched.Submit(20, 0, 0);
+  sched.Submit(21, 0, 0);
+  sched.Submit(22, 0, 0);
+  assert(sched.Poll(&batch, &expired) == 0);  // 3 pending, no wait yet
+  std::this_thread::sleep_for(std::chrono::milliseconds(60));
+  assert(sched.Poll(&batch, &expired) == 2);  // largest allowed <= 3
+  assert(sched.pending() == 1);
+
+  // deadline expiry
+  sched.Submit(30, 0, /*timeout_ms=*/1);
+  std::this_thread::sleep_for(std::chrono::milliseconds(5));
+  sched.Poll(&batch, &expired);
+  bool found = false;
+  for (int64_t e : expired) found |= (e == 30);
+  assert(found);
+
+  // flush drains the remainder
+  int n = sched.Flush(&batch);
+  assert(n == 1 && batch[0] == 22);
+  assert(sched.pending() == 0);
+
+  auto st = sched.stats();
+  assert(st.submitted == 12);
+  assert(st.expired == 1);
+  assert(st.launched_requests == 11);
+  std::printf("TestBatchScheduler OK\n");
+}
+
 }  // namespace
 
 int main() {
   TestWavDecode();
   TestResample();
   TestSlotManager();
+  TestBatchScheduler();
   std::printf("all native tests passed\n");
   return 0;
 }

@@ -92,3 +92,53 @@ def test_transcription_server(rng):
     for r in reqs:
         tokens = srv.fetch(r)
         assert tokens is not None and tokens[0] == cfg.decoder_start_token_id
+
+
+def test_native_batch_scheduler():
+    """C++ BatchScheduler through ctypes: allowed-size launch, priority
+    ordering, tail-latency launch, deadline expiry, stats."""
+    import time
+
+    from whisper_trtllm_tpu.native.lib import (
+        NativeBatchScheduler,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    sched = NativeBatchScheduler([2, 4], max_wait_ms=30)
+    batch, expired = sched.poll()
+    assert len(batch) == 0
+
+    for i in (1, 2, 3, 4):
+        sched.submit(i)
+    batch, _ = sched.poll()
+    assert list(batch) == [1, 2, 3, 4]
+
+    # priority jumps the FIFO
+    sched.submit(10); sched.submit(11, priority=9)
+    sched.submit(12); sched.submit(13)
+    batch, _ = sched.poll()
+    assert list(batch)[0] == 11
+
+    # partial batch launches only after the tail guard
+    sched.submit(20); sched.submit(21); sched.submit(22)
+    batch, _ = sched.poll()
+    assert len(batch) == 0
+    time.sleep(0.05)
+    batch, _ = sched.poll()
+    assert len(batch) == 2 and sched.pending == 1
+
+    # deadline expiry surfaces in poll + stats; the same poll also launches
+    # 22 (its wait already exceeds the tail guard)
+    sched.submit(30, timeout_ms=1)
+    time.sleep(0.01)
+    batch, expired = sched.poll()
+    assert 30 in list(expired)
+    assert list(batch) == [22]
+    assert len(sched.flush()) == 0
+    st = sched.stats()
+    assert st["submitted"] == 12 and st["expired"] == 1
+    assert st["launched_requests"] == 11
+    assert st["queue_delay_p95_us"] >= st["queue_delay_p50_us"] >= 0

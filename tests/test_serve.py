@@ -106,3 +106,40 @@ def test_concurrent_requests(server):
         assert status == 200
         expect = int(round(min(0.1 * (i + 1), 1.0) * 32767 / 32768 * 1000)) + 10
         assert abs(tok - expect) <= 1
+
+
+def test_scheduled_server_roundtrip():
+    """sched backend: priority-ordered launch, deadline expiry, padded
+    batches, stats counters (model replaced by the deterministic fake)."""
+    from whisper_trtllm_tpu.runtime.server import ScheduledTranscriptionServer
+
+    rng = np.random.default_rng(0)
+    n_samples = 16000
+    srv = ScheduledTranscriptionServer(
+        FakeSession(), allowed_batch_sizes=(1, 2), max_wait_ms=10,
+        max_samples=n_samples)
+
+    a = rng.standard_normal(n_samples).astype(np.float32) * 0.1
+    r1 = srv.submit(a)
+    r2 = srv.submit(a, priority=5)
+    assert srv.step() == 2                     # full batch launches at once
+    t1, t2 = srv.fetch(r1), srv.fetch(r2)
+    assert t1 is not None and t2 is not None
+    np.testing.assert_array_equal(t1, t2)      # identical audio -> tokens
+
+    # deadline expiry
+    r3 = srv.submit(a, timeout_ms=1)
+    time.sleep(0.01)
+    srv.step()
+    # either expired before launch, or raced the poll; both are terminal
+    out = srv.fetch(r3)
+    assert out is srv.EXPIRED or out is not None
+
+    # partial batch waits for the guard then pads to an allowed size
+    r4 = srv.submit(a)
+    assert srv.step() in (0, 1)
+    time.sleep(0.02)
+    srv.run_until_drained()
+    assert srv.fetch(r4) is not None
+    st = srv.stats()
+    assert st["submitted"] == 4 and st["launched_requests"] >= 3

@@ -154,3 +154,71 @@ class NativeSlotManager:
     @property
     def pending(self) -> int:
         return self._lib.wtpu_pending(self._ptr)
+
+
+class NativeBatchScheduler:
+    """Python handle on the C++ BatchScheduler — the batch-forming policy of
+    the reference's batch manager (reference:
+    cpp/tensorrt_llm/batch_manager/trtGptModelInflightBatching.h request
+    pickup): priority queue + allowed-batch-size launch policy + tail-latency
+    guard + deadline expiry, all under a native mutex so any number of
+    ingest threads can Submit while one scheduler thread Polls."""
+
+    def __init__(self, allowed_batch_sizes, max_wait_ms: int = 20):
+        self._lib = load_library()
+        sizes = np.ascontiguousarray(sorted(allowed_batch_sizes), np.int32)
+        self._lib.wtpu_scheduler_new.restype = ctypes.c_void_p
+        self._lib.wtpu_scheduler_pending.restype = ctypes.c_int64
+        self._ptr = self._lib.wtpu_scheduler_new(
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(sizes), ctypes.c_int64(max_wait_ms))
+        self._max_batch = int(sizes[-1])
+
+    def __del__(self):
+        if getattr(self, "_ptr", None):
+            self._lib.wtpu_scheduler_free(ctypes.c_void_p(self._ptr))
+            self._ptr = None
+
+    def submit(self, request_id: int, priority: int = 0,
+               timeout_ms: int = 0) -> None:
+        self._lib.wtpu_scheduler_submit(
+            ctypes.c_void_p(self._ptr), ctypes.c_int64(request_id),
+            ctypes.c_int(priority), ctypes.c_int64(timeout_ms))
+
+    def poll(self):
+        """Returns (batch ids ndarray, expired ids ndarray) — batch is empty
+        when the policy says wait."""
+        batch = np.empty(self._max_batch, np.int64)
+        expired = np.empty(1024, np.int64)
+        n_expired = ctypes.c_int64(0)
+        n = self._lib.wtpu_scheduler_poll(
+            ctypes.c_void_p(self._ptr),
+            batch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._max_batch,
+            expired.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 1024,
+            ctypes.byref(n_expired))
+        return batch[:n].copy(), expired[: n_expired.value].copy()
+
+    def flush(self):
+        batch = np.empty(max(self._max_batch, 4096), np.int64)
+        n = self._lib.wtpu_scheduler_flush(
+            ctypes.c_void_p(self._ptr),
+            batch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(batch))
+        return batch[:n].copy()
+
+    @property
+    def pending(self) -> int:
+        return self._lib.wtpu_scheduler_pending(ctypes.c_void_p(self._ptr))
+
+    def stats(self) -> dict:
+        out = np.zeros(6, np.int64)
+        self._lib.wtpu_scheduler_stats(
+            ctypes.c_void_p(self._ptr),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return {
+            "submitted": int(out[0]), "launched_batches": int(out[1]),
+            "launched_requests": int(out[2]), "expired": int(out[3]),
+            "queue_delay_p50_us": int(out[4]),
+            "queue_delay_p95_us": int(out[5]),
+        }

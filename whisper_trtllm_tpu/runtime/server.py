@@ -96,3 +96,81 @@ class IfbTranscriptionServer:
     @property
     def pending(self) -> int:
         return len(self.batcher._queue)
+
+
+class ScheduledTranscriptionServer:
+    """Policy-scheduled lockstep serving: the native BatchScheduler decides
+    WHEN to launch and WHICH requests ride together (priority ordering,
+    allowed-batch-size launch policy, tail-latency guard, deadline expiry)
+    — the batch-forming role of the reference's batch manager (reference:
+    cpp/tensorrt_llm/batch_manager/trtGptModelInflightBatching.h request
+    pickup). Launched batches pad up to the nearest allowed (pre-compiled)
+    size, so the device only ever sees warmed shapes."""
+
+    def __init__(self, session: WhisperSession,
+                 allowed_batch_sizes=(1, 2, 4, 8), max_wait_ms: int = 20,
+                 max_samples: int = 480000):
+        import threading
+
+        from whisper_trtllm_tpu.native.lib import NativeBatchScheduler
+
+        self.session = session
+        self.sizes = tuple(sorted(allowed_batch_sizes))
+        self.max_samples = max_samples
+        self.sched = NativeBatchScheduler(self.sizes, max_wait_ms)
+        self._lock = threading.Lock()
+        self._next_id = 1
+        self._payloads: dict = {}
+        self._results: dict = {}
+
+    EXPIRED = "expired"
+
+    def submit(self, audio: np.ndarray, priority: int = 0,
+               timeout_ms: int = 0) -> int:
+        audio = np.asarray(audio, np.float32)[: self.max_samples]
+        with self._lock:
+            rid = self._next_id
+            self._next_id += 1
+            self._payloads[rid] = audio
+        self.sched.submit(rid, priority, timeout_ms)
+        return rid
+
+    def step(self) -> int:
+        """One scheduling round. Returns requests served (0 = policy chose
+        to wait)."""
+        batch, expired = self.sched.poll()
+        with self._lock:
+            for rid in expired:
+                self._payloads.pop(int(rid), None)
+                self._results[int(rid)] = self.EXPIRED
+            if len(batch) == 0:
+                return 0
+            audios = [self._payloads.pop(int(r)) for r in batch]
+        n = len(audios)
+        padded = next(s for s in self.sizes if s >= n)
+        mat = np.zeros((padded, self.max_samples), np.float32)
+        for i, a in enumerate(audios):
+            mat[i, : len(a)] = a
+        tokens, lengths = self.session.transcribe(mat)
+        with self._lock:
+            for i, rid in enumerate(batch):
+                self._results[int(rid)] = np.asarray(
+                    tokens[i, : lengths[i]])
+        return n
+
+    def fetch(self, request_id: int):
+        """Tokens, the EXPIRED sentinel, or None (not finished)."""
+        with self._lock:
+            return self._results.pop(request_id, None)
+
+    def run_until_drained(self, max_rounds: int = 1000) -> None:
+        for _ in range(max_rounds):
+            if self.step() == 0 and self.pending == 0:
+                return
+
+    @property
+    def pending(self) -> int:
+        return int(self.sched.pending)
+
+    def stats(self) -> dict:
+        return self.sched.stats()
