@@ -149,3 +149,62 @@ def test_run_zoo_cli_sampled(capsys):
     out = capsys.readouterr().out
     row = json.loads(out.strip().splitlines()[-1])
     assert len(row["output_ids"]) == 5
+
+
+def test_visualize_cli(checkpoint, tmp_path, capsys):
+    """visualize CLI (≙ reference examples/gpt/visualize.py): dumps jaxpr,
+    StableHLO and post-optimization HLO of the compiled pipeline."""
+    path, cfg = checkpoint
+    out = str(tmp_path / "graph")
+    _run("cli.visualize",
+         ["--checkpoint", path, "--out", out, "--max-new-tokens", "4"])
+    jaxpr = open(out + ".jaxpr.txt").read()
+    assert "while" in jaxpr                        # the on-device decode loop
+    shlo = open(out + ".stablehlo.mlir").read()
+    assert "stablehlo" in shlo or "mhlo" in shlo or "func.func" in shlo
+    hlo = open(out + ".hlo.txt").read()
+    assert "fusion" in hlo or "while" in hlo
+
+
+def test_summarize_cli(tmp_path, capsys, monkeypatch):
+    """summarize CLI (≙ reference examples/gpt/summarize.py): tiny random
+    GPT-2 + an identity 'tokenizer' via monkeypatched transformers — checks
+    the generate→decode→ROUGE plumbing and the JSON report."""
+    import pickle
+
+    import torch
+    import transformers
+
+    hf_cfg = transformers.GPT2Config(
+        vocab_size=89, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+        bos_token_id=2, eos_token_id=88)
+    hf = transformers.GPT2LMHeadModel(hf_cfg).eval()
+
+    class FakeTok:
+        eos_token_id = 88
+
+        def __call__(self, text, truncation=True, max_length=None):
+            ids = [(3 + (ord(c) % 80)) for c in text][:max_length]
+            return type("E", (), {"input_ids": ids})
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"t{i}" for i in ids)
+
+    monkeypatch.setattr(transformers.AutoTokenizer, "from_pretrained",
+                        staticmethod(lambda *_a, **_k: FakeTok()))
+    monkeypatch.setattr(transformers.AutoModelForCausalLM, "from_pretrained",
+                        staticmethod(lambda *_a, **_k: hf))
+
+    ds = tmp_path / "pairs.pkl"
+    with open(ds, "wb") as f:
+        pickle.dump([("hello world", "t5 t6"), ("abc", "t7")], f)
+
+    _run("cli.summarize",
+         ["--dataset", str(ds), "--hf-model", "ignored",
+          "--max-new-tokens", "4", "--compare-hf"])
+    import json
+
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n"] == 2
+    assert 0.0 <= report["rouge1"] <= 1.0
+    assert "hf" in report and 0.0 <= report["hf"]["rougeL"] <= 1.0

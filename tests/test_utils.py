@@ -93,3 +93,40 @@ def test_memory_monitor_runs():
     assert p == -1.0 or p >= 0.0
     # stop twice is safe
     assert mon.stop() == p
+
+
+class TestRouge:
+    """Self-contained ROUGE (utils/metrics.py::rouge_scores — the
+    reference's summarize.py metric without the evaluate/rouge_score
+    dependency)."""
+
+    def test_identical_is_one(self):
+        from whisper_trtllm_tpu.utils.metrics import rouge_scores
+
+        s = rouge_scores(["the cat sat on the mat"],
+                         ["the cat sat on the mat"])
+        assert s["rouge1"] == s["rouge2"] == s["rougeL"] == 1.0
+
+    def test_disjoint_is_zero(self):
+        from whisper_trtllm_tpu.utils.metrics import rouge_scores
+
+        s = rouge_scores(["alpha beta"], ["gamma delta"])
+        assert s["rouge1"] == s["rouge2"] == s["rougeL"] == 0.0
+
+    def test_hand_computed(self):
+        from whisper_trtllm_tpu.utils.metrics import rouge_scores
+
+        # hyp: "the cat sat", ref: "the cat lay down"
+        # rouge1: match {the, cat}=2, p=2/3, r=2/4 -> f1=4/7
+        # rouge2: match {the cat}=1, p=1/2, r=1/3 -> f1=2/5
+        # rougeL: lcs "the cat"=2 -> same as rouge1 f1
+        s = rouge_scores(["the cat sat"], ["the cat lay down"])
+        assert abs(s["rouge1"] - 4 / 7) < 1e-9
+        assert abs(s["rouge2"] - 2 / 5) < 1e-9
+        assert abs(s["rougeL"] - 4 / 7) < 1e-9
+
+    def test_corpus_mean_and_case(self):
+        from whisper_trtllm_tpu.utils.metrics import rouge_scores
+
+        s = rouge_scores(["The CAT sat", "x"], ["the cat sat", "y"])
+        assert abs(s["rouge1"] - 0.5) < 1e-9
