@@ -74,6 +74,11 @@ def build_handler(server_state):
             if tokens is None:
                 self._reply(504, {"error": "timeout"})
                 return
+            if isinstance(tokens, str):
+                # ScheduledTranscriptionServer.EXPIRED — the request's
+                # deadline elapsed before a batch launched
+                self._reply(504, {"error": tokens, "request_id": int(rid)})
+                return
             resp = {"request_id": int(rid), "tokens": [int(t) for t in tokens]}
             tok = server_state.get("tokenizer")
             if tok is not None:

@@ -32,6 +32,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache for the --stage hlo compile (CLAUDE.md:
+    # cold while_loop compiles ride a slow remote tunnel on this platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/wtpu_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from whisper_trtllm_tpu.config import GenerationConfig, RuntimeConfig
     from whisper_trtllm_tpu.runtime import WhisperSession
     from whisper_trtllm_tpu.utils.checkpoint import load_checkpoint
@@ -49,15 +54,16 @@ def main():
         txt = str(jax.make_jaxpr(lambda p, m: fn(p, m))(sess.params, mel))
         open(f"{args.out}.jaxpr.txt", "w").write(txt)
         print(f"{args.out}.jaxpr.txt ({len(txt)} chars)")
-    lowered = fn.lower(sess.params, mel)
-    if args.stage in ("stablehlo", "all"):
-        txt = lowered.as_text()
-        open(f"{args.out}.stablehlo.mlir", "w").write(txt)
-        print(f"{args.out}.stablehlo.mlir ({len(txt)} chars)")
-    if args.stage in ("hlo", "all"):
-        txt = lowered.compile().as_text()
-        open(f"{args.out}.hlo.txt", "w").write(txt)
-        print(f"{args.out}.hlo.txt ({len(txt)} chars)")
+    if args.stage in ("stablehlo", "hlo", "all"):
+        lowered = fn.lower(sess.params, mel)
+        if args.stage in ("stablehlo", "all"):
+            txt = lowered.as_text()
+            open(f"{args.out}.stablehlo.mlir", "w").write(txt)
+            print(f"{args.out}.stablehlo.mlir ({len(txt)} chars)")
+        if args.stage in ("hlo", "all"):
+            txt = lowered.compile().as_text()
+            open(f"{args.out}.hlo.txt", "w").write(txt)
+            print(f"{args.out}.hlo.txt ({len(txt)} chars)")
 
 
 if __name__ == "__main__":

@@ -33,8 +33,12 @@ struct SchedulerStats {
   int64_t launched_batches = 0;
   int64_t launched_requests = 0;
   int64_t expired = 0;
-  // queue delay (submit -> launch) in microseconds
-  std::vector<int64_t> delays_us;
+  // queue delay (submit -> launch) in microseconds: a bounded ring of the
+  // most recent kDelayWindow launches (a long-running daemon must not grow
+  // without bound, and stats() copies under the scheduler mutex)
+  static constexpr int kDelayWindow = 4096;
+  std::vector<int64_t> delays_us;   // ring storage, size <= kDelayWindow
+  int64_t delays_next = 0;          // ring write index
 };
 
 class BatchScheduler {
@@ -50,9 +54,10 @@ class BatchScheduler {
   // empty) and `expired` with ids dropped this round. Returns batch size.
   int Poll(std::vector<int64_t>* batch, std::vector<int64_t>* expired);
 
-  // Force-launch whatever is pending (shutdown/flush), still respecting
-  // the allowed sizes (largest <= pending; the final remainder launches
-  // at the smallest allowed size's granularity — callers pad).
+  // Force-launch pending work (shutdown/flush): returns ONE batch of at
+  // most the largest allowed size — call repeatedly until it returns 0.
+  // Never exceeds the allowed maximum, so every flushed batch still maps
+  // to a pre-compiled executable shape (callers pad partial batches).
   int Flush(std::vector<int64_t>* batch);
 
   int64_t pending() const;

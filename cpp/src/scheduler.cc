@@ -49,9 +49,17 @@ int BatchScheduler::FormBatchLocked(int want, std::vector<int64_t>* batch) {
   for (int i = 0; i < want; ++i) {
     const Item& it = queue_.front();
     batch->push_back(it.id);
-    stats_.delays_us.push_back(
+    int64_t delay =
         std::chrono::duration_cast<std::chrono::microseconds>(now - it.enqueue)
-            .count());
+            .count();
+    if (static_cast<int>(stats_.delays_us.size()) <
+        SchedulerStats::kDelayWindow) {
+      stats_.delays_us.push_back(delay);
+    } else {
+      stats_.delays_us[stats_.delays_next %
+                       SchedulerStats::kDelayWindow] = delay;
+    }
+    ++stats_.delays_next;
     queue_.pop_front();
   }
   if (want > 0) {
@@ -100,7 +108,7 @@ int BatchScheduler::Flush(std::vector<int64_t>* batch) {
   batch->clear();
   int pending = static_cast<int>(queue_.size());
   if (pending == 0) return 0;
-  int want = pending;
+  int want = pending < allowed_.back() ? pending : allowed_.back();
   return FormBatchLocked(want, batch);
 }
 

@@ -201,7 +201,8 @@ def test_summarize_cli(tmp_path, capsys, monkeypatch):
 
     _run("cli.summarize",
          ["--dataset", str(ds), "--hf-model", "ignored",
-          "--max-new-tokens", "4", "--compare-hf"])
+          "--max-new-tokens", "4", "--max-input-len", "16",
+          "--batch", "2", "--compare-hf"])
     import json
 
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -169,15 +169,20 @@ class NativeBatchScheduler:
         sizes = np.ascontiguousarray(sorted(allowed_batch_sizes), np.int32)
         self._lib.wtpu_scheduler_new.restype = ctypes.c_void_p
         self._lib.wtpu_scheduler_pending.restype = ctypes.c_int64
+        self._free = self._lib.wtpu_scheduler_free
         self._ptr = self._lib.wtpu_scheduler_new(
             sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(sizes), ctypes.c_int64(max_wait_ms))
         self._max_batch = int(sizes[-1])
 
     def __del__(self):
-        if getattr(self, "_ptr", None):
-            self._lib.wtpu_scheduler_free(ctypes.c_void_p(self._ptr))
-            self._ptr = None
+        try:
+            if getattr(self, "_ptr", None):
+                self._free(ctypes.c_void_p(self._ptr))
+                self._ptr = None
+        except (TypeError, AttributeError):
+            # interpreter teardown: ctypes globals may already be gone
+            pass
 
     def submit(self, request_id: int, priority: int = 0,
                timeout_ms: int = 0) -> None:
@@ -187,25 +192,33 @@ class NativeBatchScheduler:
 
     def poll(self):
         """Returns (batch ids ndarray, expired ids ndarray) — batch is empty
-        when the policy says wait."""
+        when the policy says wait. The expired buffer is sized to the whole
+        queue: everything droppable this round fits, nothing leaks."""
         batch = np.empty(self._max_batch, np.int64)
-        expired = np.empty(1024, np.int64)
+        cap = max(int(self.pending), 16)
+        expired = np.empty(cap, np.int64)
         n_expired = ctypes.c_int64(0)
         n = self._lib.wtpu_scheduler_poll(
             ctypes.c_void_p(self._ptr),
             batch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             self._max_batch,
-            expired.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 1024,
+            expired.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
             ctypes.byref(n_expired))
         return batch[:n].copy(), expired[: n_expired.value].copy()
 
     def flush(self):
-        batch = np.empty(max(self._max_batch, 4096), np.int64)
-        n = self._lib.wtpu_scheduler_flush(
-            ctypes.c_void_p(self._ptr),
-            batch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(batch))
-        return batch[:n].copy()
+        """Drain the queue as a list of batches, each at most the largest
+        allowed size (every batch maps to a pre-compiled shape)."""
+        batches = []
+        buf = np.empty(self._max_batch, np.int64)
+        while True:
+            n = self._lib.wtpu_scheduler_flush(
+                ctypes.c_void_p(self._ptr),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._max_batch)
+            if n == 0:
+                return batches
+            batches.append(buf[:n].copy())
 
     @property
     def pending(self) -> int:

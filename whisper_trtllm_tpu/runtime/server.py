@@ -117,6 +117,7 @@ class ScheduledTranscriptionServer:
         self.session = session
         self.sizes = tuple(sorted(allowed_batch_sizes))
         self.max_samples = max_samples
+        self.max_wait_ms = max_wait_ms
         self.sched = NativeBatchScheduler(self.sizes, max_wait_ms)
         self._lock = threading.Lock()
         self._next_id = 1
@@ -164,9 +165,19 @@ class ScheduledTranscriptionServer:
             return self._results.pop(request_id, None)
 
     def run_until_drained(self, max_rounds: int = 1000) -> None:
+        """Drive steps until the queue empties. An empty step with work
+        still pending means the tail-latency guard hasn't fired yet — sleep
+        a fraction of it instead of busy-spinning the rounds away (a
+        max_wait_ms guard can otherwise outlive max_rounds of instant
+        polls, returning with requests still queued)."""
+        import time
+
         for _ in range(max_rounds):
-            if self.step() == 0 and self.pending == 0:
-                return
+            served = self.step()
+            if served == 0:
+                if self.pending == 0:
+                    return
+                time.sleep(max(self.max_wait_ms / 5, 1) / 1000.0)
 
     @property
     def pending(self) -> int:
