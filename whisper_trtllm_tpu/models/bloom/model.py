@@ -324,3 +324,12 @@ def convert_hf_bloom(hf_model) -> Tuple[dict, BloomConfig]:
         "ln_f": ln("transformer.ln_f"),
     }
     return params, cfg
+
+
+# beam search via the model-agnostic factory — HF generate(num_beams=K,
+# early_stopping=True) semantics (the reference enables beam_width>1 for
+# every engine through one GenerationSession, reference:
+# tensorrt_llm/runtime/generation.py:898-975)
+from whisper_trtllm_tpu.runtime.beam_lm import make_generate_beam
+
+generate_beam = make_generate_beam(_prefill, _step)

@@ -347,6 +347,53 @@ def generate(params: dict, cfg: ChatGLM6BConfig, prompt: jnp.ndarray,
         params, prompt)
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_generate_beam(cfg: ChatGLM6BConfig, prompt_len: int,
+                            max_new_tokens: int, mask_pos: int,
+                            num_beams: int, length_penalty: float):
+    from whisper_trtllm_tpu.runtime import beam_lm
+
+    pos_np = build_position_ids(prompt_len, mask_pos, prompt_len)
+
+    def fn(params, prompt):
+        b = prompt.shape[0]
+        max_len = prompt_len + max_new_tokens
+        position_ids = jnp.broadcast_to(
+            jnp.asarray(pos_np)[None], (b, 2, prompt_len))
+        return beam_lm.beam_generate_tokens(
+            lambda p, t, ck, cv: _prefill(
+                p, cfg, t, position_ids, prompt_len, ck, cv),
+            lambda p, tok, pos, ck, cv: _step(
+                p, cfg, tok, pos, mask_pos, prompt_len, ck, cv),
+            params, prompt,
+            cache_shape=(cfg.n_layer, b, cfg.n_head, max_len, cfg.head_dim),
+            prompt_len=prompt_len, max_new_tokens=max_new_tokens,
+            eos_token_id=cfg.eos_token_id, num_beams=num_beams,
+            length_penalty=length_penalty,
+        )
+
+    return jax.jit(fn)
+
+
+def generate_beam(params: dict, cfg: ChatGLM6BConfig, prompt: jnp.ndarray,
+                  max_new_tokens: int, num_beams: int,
+                  length_penalty: float = 1.0, mask_pos: int | None = None):
+    """GLM beam search — bespoke wiring because the generation-phase
+    position ids are (mask_pos, pos - ctx_len + 1), not pos (the same
+    reason the reference ships a dedicated ChatGLM6BHeadModelGeneration-
+    Session, reference: tensorrt_llm/runtime/generation.py:1000). The
+    prefill runs once per utterance at beam 1; beam_lm tiles K-wide, so
+    the broadcast position ids follow the batch automatically."""
+    prompt_len = prompt.shape[1]
+    if mask_pos is None:
+        mask_pos = prompt_len - 2
+    if prompt_len + max_new_tokens > cfg.max_positions:
+        raise ValueError("prompt_len + max_new_tokens exceeds max_positions")
+    return _compiled_generate_beam(
+        cfg, prompt_len, max_new_tokens, int(mask_pos), num_beams,
+        float(length_penalty))(params, prompt)
+
+
 def _prefill_ragged(params, cfg: ChatGLM6BConfig, tokens, lens,
                     cache_k, cache_v):
     """Context phase over a right-padded ragged batch: per-row GLM position

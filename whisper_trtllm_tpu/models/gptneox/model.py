@@ -366,3 +366,12 @@ def generate(params: dict, cfg: GPTNeoXConfig, prompt: jnp.ndarray,
     sc = make_sampling_cfg(temperature, top_k, top_p, repetition_penalty,
                            seed, do_sample)
     return _compiled_generate(cfg, prompt_len, max_len, sc)(params, prompt)
+
+
+# beam search via the model-agnostic factory — HF generate(num_beams=K,
+# early_stopping=True) semantics (the reference enables beam_width>1 for
+# every engine through one GenerationSession, reference:
+# tensorrt_llm/runtime/generation.py:898-975)
+from whisper_trtllm_tpu.runtime.beam_lm import make_generate_beam
+
+generate_beam = make_generate_beam(_prefill, _step)

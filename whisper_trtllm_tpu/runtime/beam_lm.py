@@ -211,3 +211,48 @@ def beam_generate_tokens(
     out_scores = jnp.take_along_axis(merged_scores, sel, axis=1)
     out_lengths = jnp.take_along_axis(merged_lengths, sel, axis=1)
     return out_tokens, out_scores, out_lengths
+
+
+def make_generate_beam(prefill: Callable, step: Callable):
+    """Wire a zoo family's (prefill, step) pair into a ready-made
+    ``generate_beam(params, cfg, prompt, max_new_tokens, num_beams,
+    length_penalty=1.0)`` — the reference enables beam_width>1 for EVERY
+    engine through one GenerationSession (reference:
+    tensorrt_llm/runtime/generation.py:898-975); this factory is the
+    model-agnostic equivalent. Requires the standard config fields
+    (n_layer/n_head/head_dim/n_positions/eos_token_id); families with
+    non-standard caches (GQA) or step signatures keep bespoke wiring."""
+    import functools
+
+    @functools.lru_cache(maxsize=16)
+    def compiled(cfg, prompt_len: int, max_new_tokens: int, num_beams: int,
+                 length_penalty: float):
+        def fn(params, prompt):
+            b = prompt.shape[0]
+            max_len = prompt_len + max_new_tokens
+            return beam_generate_tokens(
+                lambda p, t, ck, cv: prefill(p, cfg, t, ck, cv),
+                lambda p, tok, pos, ck, cv: step(p, cfg, tok, pos, ck, cv),
+                params, prompt,
+                cache_shape=(cfg.n_layer, b, cfg.n_head, max_len,
+                             cfg.head_dim),
+                prompt_len=prompt_len, max_new_tokens=max_new_tokens,
+                eos_token_id=cfg.eos_token_id, num_beams=num_beams,
+                length_penalty=length_penalty,
+            )
+
+        return jax.jit(fn)
+
+    def generate_beam(params, cfg, prompt, max_new_tokens: int,
+                      num_beams: int, length_penalty: float = 1.0):
+        # gpt: n_positions; opt/gptj/gptneox: max_positions; bloom: none
+        # (ALiBi extrapolates)
+        limit = getattr(cfg, "n_positions", None) or getattr(
+            cfg, "max_positions", None)
+        if limit and prompt.shape[1] + max_new_tokens > limit:
+            raise ValueError(
+                "prompt_len + max_new_tokens exceeds the position limit")
+        return compiled(cfg, prompt.shape[1], max_new_tokens, num_beams,
+                        float(length_penalty))(params, prompt)
+
+    return generate_beam
