@@ -143,3 +143,54 @@ def test_scheduled_server_roundtrip():
     assert srv.fetch(r4) is not None
     st = srv.stats()
     assert st["submitted"] == 4 and st["launched_requests"] >= 3
+
+
+def test_scheduled_server_threaded():
+    """Concurrent submitters against one scheduler thread: every request
+    reaches a terminal state (the native mutex + bounded stats path)."""
+    import threading
+    import time
+
+    from whisper_trtllm_tpu.runtime.server import ScheduledTranscriptionServer
+
+    srv = ScheduledTranscriptionServer(
+        FakeSession(), allowed_batch_sizes=(1, 2, 4), max_wait_ms=5,
+        max_samples=4000)
+    stop = threading.Event()
+
+    def pump():
+        while not stop.is_set():
+            srv.step()
+            time.sleep(0.001)
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+
+    rng = np.random.default_rng(0)
+    ids = []
+
+    def submitter(seed):
+        r = np.random.default_rng(seed)
+        for _ in range(10):
+            a = r.standard_normal(4000).astype(np.float32) * 0.1
+            ids.append(srv.submit(a, priority=int(r.integers(0, 3))))
+
+    subs = [threading.Thread(target=submitter, args=(i,)) for i in range(4)]
+    for s in subs:
+        s.start()
+    for s in subs:
+        s.join()
+
+    deadline = time.monotonic() + 20
+    done = {}
+    while len(done) < len(ids) and time.monotonic() < deadline:
+        for rid in ids:
+            if rid not in done:
+                out = srv.fetch(rid)
+                if out is not None:
+                    done[rid] = out
+        time.sleep(0.005)
+    stop.set()
+    assert len(done) == 40, f"only {len(done)}/40 terminal"
+    st = srv.stats()
+    assert st["submitted"] == 40 and st["launched_requests"] == 40

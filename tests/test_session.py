@@ -202,3 +202,31 @@ def test_engine_export_roundtrip(tmp_path, rng):
     ref2, _ = sess2.transcribe_features(mel)
     out2, _ = eng(sess2.params, jnp.asarray(mel))
     np.testing.assert_array_equal(np.asarray(out2), ref2)
+
+
+def test_engine_export_bf16_quantized(tmp_path, rng):
+    """Engines serialize transformed trees too: bf16 compute + int8
+    weight-only quantized params round-trip through jax.export."""
+    import jax.numpy as jnp
+
+    from whisper_trtllm_tpu.config import (
+        GenerationConfig, RuntimeConfig, WhisperConfig)
+    from whisper_trtllm_tpu.models.whisper import init_params
+    from whisper_trtllm_tpu.runtime import WhisperSession
+    from whisper_trtllm_tpu.utils.engine import load_engine
+
+    cfg = WhisperConfig.testing()
+    sess = WhisperSession(
+        init_params(cfg, seed=0), cfg, GenerationConfig(max_new_tokens=5),
+        RuntimeConfig(compute_dtype="bfloat16", weight_dtype="int8"),
+    )
+    path = str(tmp_path / "w.engine")
+    assert sess.export_engine(path, batch=1) > 0
+
+    mel = rng.standard_normal(
+        (1, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    ref_tokens, _ = sess.transcribe_features(mel)
+    eng = load_engine(path)
+    tokens, _ = eng(sess.params, jnp.asarray(mel, jnp.bfloat16))
+    np.testing.assert_array_equal(np.asarray(tokens), ref_tokens)
