@@ -274,3 +274,41 @@ class TestFusedDecoderLayerStep:
         np.testing.assert_allclose(np.asarray(out_logits),
                                    np.asarray(ref_logits),
                                    atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("s", [64, 200])
+def test_flash_mha_causal_matches_xla(rng, s):
+    """Causal flash (the context-FMHA causal variant): exact parity with
+    the XLA causal path, including non-block-aligned S."""
+    b, h, dh = 2, 3, 64
+    q = rng.standard_normal((b, h, s, dh)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, h, s, dh)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, h, s, dh)).astype(np.float32)
+    ref = np.asarray(mha(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                         causal=True, use_flash=False))
+    out = np.asarray(flash_mha(jnp.asarray(q), jnp.asarray(k),
+                               jnp.asarray(v), causal=True, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_mha_causal_grad_matches_xla(rng):
+    import jax
+
+    b, h, s, dh = 1, 2, 128, 64
+    q = rng.standard_normal((b, h, s, dh)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, h, s, dh)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, h, s, dh)).astype(np.float32)
+
+    def loss_ref(q, k, v):
+        return (mha(q, k, v, causal=True, use_flash=False) ** 2).sum()
+
+    def loss_flash(q, k, v):
+        return (flash_mha(q, k, v, causal=True, interpret=True) ** 2).sum()
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3)

@@ -59,16 +59,23 @@ def mha(
     hkv = k.shape[1]
     if (
         use_flash
-        and not causal
         and mask is None
         and hkv == h
         and s > 1
         and dh % 8 == 0
+        and (not causal or (s == k.shape[2] and s >= 768))
         and _use_pallas()
     ):
+        # bidirectional (encoder) or causal square (context-phase prefill —
+        # the reference's causal context FMHA, reference:
+        # cpp/tensorrt_llm/kernels/contextFusedMultiHeadAttention/).
+        # The causal variant engages only at S >= 768: measured on v5e it
+        # wins 1.5x at S=1024 (1161 vs 1748 us) but loses below ~700
+        # (783 vs 631 us at S=512) where the XLA lowering's materialized
+        # scores still fit caches comfortably — docs/PERFORMANCE.md.
         from whisper_trtllm_tpu.ops.pallas.flash_attention import flash_mha
 
-        return flash_mha(q, k, v)
+        return flash_mha(q, k, v, causal=causal)
     if hkv != h:
         assert h % hkv == 0
         k = jnp.repeat(k, h // hkv, axis=1)

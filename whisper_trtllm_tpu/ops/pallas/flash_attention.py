@@ -24,7 +24,25 @@ from jax.experimental.pallas import tpu as pltpu
 BQ = 128  # q-block rows
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
+def _mask_scores(s, valid_len: int, causal: bool):
+    """Padding mask (static valid_len) + optional causal mask. The q-block's
+    absolute row offset is program_id(2) * BQ — the context-FMHA causal
+    variant (reference: cpp/tensorrt_llm/kernels/
+    contextFusedMultiHeadAttention/ causal_mask kernels)."""
+    t = s.shape[1]
+    if valid_len < t:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid_len, s, jnp.float32(-1e9))
+    if causal:
+        row = pl.program_id(2) * BQ + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col <= row, s, jnp.float32(-1e9))
+    return s
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float,
+            causal: bool = False):
     q = q_ref[0, 0]                    # (BQ, dh)
     k = k_ref[0, 0]                    # (T, dh)
     v = v_ref[0, 0]
@@ -33,10 +51,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale                          # (BQ, T) fp32
-    t = k.shape[0]
-    if valid_len < t:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < valid_len, s, jnp.float32(-1e9))
+    s = _mask_scores(s, valid_len, causal)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     # Mosaic requires a 32-bit matmul accumulator (bf16 acc is rejected)
     o_ref[0, 0] = jax.lax.dot_general(
@@ -55,7 +70,7 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-def _fwd_impl(q, k, v, interpret):
+def _fwd_impl(q, k, v, interpret, causal=False):
     b, h, s, dh = q.shape
     t = k.shape[2]
     qp = _pad_to(q, 2, BQ)
@@ -65,7 +80,7 @@ def _fwd_impl(q, k, v, interpret):
 
     grid = (b, h, sp // BQ)
     out = pl.pallas_call(
-        functools.partial(_kernel, valid_len=t, scale=1.0),
+        functools.partial(_kernel, valid_len=t, scale=1.0, causal=causal),
         out_shape=jax.ShapeDtypeStruct((b, h, sp, dh), q.dtype),
         grid=grid,
         in_specs=[
@@ -84,7 +99,7 @@ def _fwd_impl(q, k, v, interpret):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                valid_len: int, scale: float):
+                valid_len: int, scale: float, causal: bool = False):
     """Backward pass, one program per (batch, head, q-block). Recomputes the
     block's exact softmax from q/k (cheaper than spilling the (S, T) score
     matrix to HBM — the same rationale flash backward uses), emits the
@@ -100,10 +115,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale                                  # (BQ, T)
-    t = k.shape[0]
-    if valid_len < t:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < valid_len, s, jnp.float32(-1e9))
+    s = _mask_scores(s, valid_len, causal)
     p = jax.nn.softmax(s, axis=-1)             # (BQ, T) fp32
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -136,7 +148,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         dv_ref[0, 0] += dv_c
 
 
-def _bwd_impl(q, k, v, do, interpret):
+def _bwd_impl(q, k, v, do, interpret, causal=False):
     b, h, s, dh = q.shape
     t = k.shape[2]
     qp = _pad_to(q, 2, BQ)
@@ -151,7 +163,7 @@ def _bwd_impl(q, k, v, do, interpret):
     blk_kv = pl.BlockSpec((1, 1, tp, dh), lambda i, j, n: (i, j, 0, 0),
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, valid_len=t, scale=1.0),
+        functools.partial(_bwd_kernel, valid_len=t, scale=1.0, causal=causal),
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sp, dh), q.dtype),
             jax.ShapeDtypeStruct((b, h, tp, dh), jnp.float32),
@@ -169,33 +181,38 @@ def _bwd_impl(q, k, v, do, interpret):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash(q, k, v, interpret):
-    return _fwd_impl(q, k, v, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, interpret, causal):
+    return _fwd_impl(q, k, v, interpret, causal)
 
 
-def _flash_fwd(q, k, v, interpret):
-    return _fwd_impl(q, k, v, interpret), (q, k, v)
+def _flash_fwd(q, k, v, interpret, causal):
+    return _fwd_impl(q, k, v, interpret, causal), (q, k, v)
 
 
-def _flash_bwd(interpret, res, do):
+def _flash_bwd(interpret, causal, res, do):
     q, k, v = res
-    return _bwd_impl(q, k, v, do, interpret)
+    return _bwd_impl(q, k, v, do, interpret, causal)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "causal"))
 def flash_mha(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     interpret: bool = False,
+    causal: bool = False,
 ) -> jnp.ndarray:
-    """Bidirectional attention. q: (B, H, S, dh), k/v: (B, H, T, dh); q is
+    """Fused attention. q: (B, H, S, dh), k/v: (B, H, T, dh); q is
     expected pre-scaled (Whisper convention) — no extra scaling applied.
-    Returns (B, H, S, dh). Differentiable: a custom VJP runs the fused
+    Returns (B, H, S, dh). ``causal=True`` masks col > row (requires
+    S == T: the context-phase square case, ≙ the reference's causal
+    context FMHA). Differentiable either way: a custom VJP runs the fused
     backward kernel (`_bwd_kernel`), so the training path may keep the
     kernel enabled."""
-    return _flash(q, k, v, interpret)
+    if causal:
+        assert q.shape[2] == k.shape[2], "causal flash requires S == T"
+    return _flash(q, k, v, interpret, causal)
