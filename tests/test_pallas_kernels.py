@@ -312,3 +312,45 @@ def test_flash_mha_causal_grad_matches_xla(rng):
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("hkv,causal", [(1, False), (2, True)])
+def test_flash_mha_gqa_matches_xla(rng, hkv, causal):
+    """MQA/GQA flash: kv heads shared across q-head groups through the
+    block index map — parity with the XLA repeat-heads path."""
+    b, h, s, dh = 2, 4, 128, 64
+    q = rng.standard_normal((b, h, s, dh)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, hkv, s, dh)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, hkv, s, dh)).astype(np.float32)
+    ref = np.asarray(mha(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                         causal=causal, use_flash=False))
+    out = np.asarray(flash_mha(jnp.asarray(q), jnp.asarray(k),
+                               jnp.asarray(v), causal=causal,
+                               interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_mha_gqa_grad_matches_xla(rng):
+    """GQA backward: dk/dv accumulate across the q-heads sharing each kv
+    head (the first-visit init condition)."""
+    import jax
+
+    b, h, hkv, s, dh = 1, 4, 2, 128, 64
+    q = rng.standard_normal((b, h, s, dh)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, hkv, s, dh)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, hkv, s, dh)).astype(np.float32)
+
+    def loss_ref(q, k, v):
+        return (mha(q, k, v, causal=True, use_flash=False) ** 2).sum()
+
+    def loss_flash(q, k, v):
+        return (flash_mha(q, k, v, causal=True, interpret=True) ** 2).sum()
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b_ in zip(gf, gr):
+        assert a.shape == b_.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3)

@@ -60,7 +60,7 @@ def mha(
     if (
         use_flash
         and mask is None
-        and hkv == h
+        and h % hkv == 0
         and s > 1
         and dh % 8 == 0
         and (not causal or (s == k.shape[2] and s >= 768))

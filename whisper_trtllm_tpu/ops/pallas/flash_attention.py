@@ -73,12 +73,19 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 def _fwd_impl(q, k, v, interpret, causal=False):
     b, h, s, dh = q.shape
     t = k.shape[2]
+    # grouped-query attention: q-head j reads kv-head j // group via the
+    # BlockSpec index map — no repeated K/V ever materializes (the
+    # reference's MQA/GQA flag, tensorrt_llm/layers/attention.py:72)
+    group = h // k.shape[1]
     qp = _pad_to(q, 2, BQ)
     kp = _pad_to(k, 2, 8)
     vp = _pad_to(v, 2, 8)
     sp, tp = qp.shape[2], kp.shape[2]
 
     grid = (b, h, sp // BQ)
+    kv_spec = pl.BlockSpec((1, 1, tp, dh),
+                           lambda i, j, n: (i, j // group, 0, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, valid_len=t, scale=1.0, causal=causal),
         out_shape=jax.ShapeDtypeStruct((b, h, sp, dh), q.dtype),
@@ -86,10 +93,8 @@ def _fwd_impl(q, k, v, interpret, causal=False):
         in_specs=[
             pl.BlockSpec((1, 1, BQ, dh), lambda i, j, n: (i, j, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tp, dh), lambda i, j, n: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tp, dh), lambda i, j, n: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
         ],
         out_specs=pl.BlockSpec((1, 1, BQ, dh), lambda i, j, n: (i, j, n, 0),
                                memory_space=pltpu.VMEM),
@@ -99,7 +104,8 @@ def _fwd_impl(q, k, v, interpret, causal=False):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                valid_len: int, scale: float, causal: bool = False):
+                valid_len: int, scale: float, causal: bool = False,
+                group: int = 1):
     """Backward pass, one program per (batch, head, q-block). Recomputes the
     block's exact softmax from q/k (cheaper than spilling the (S, T) score
     matrix to HBM — the same rationale flash backward uses), emits the
@@ -137,12 +143,19 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(n == 0)
+    # dk/dv accumulate across q-blocks AND across the q-heads sharing this
+    # kv head (GQA): the kv output block's index is (i, j // group), so it
+    # stays resident while (j within the group, n) iterate — initialize on
+    # the first visit only
+    j = pl.program_id(1)
+    first_visit = jnp.logical_and(n == 0, j % group == 0)
+
+    @pl.when(first_visit)
     def _():
         dk_ref[0, 0] = dk_c
         dv_ref[0, 0] = dv_c
 
-    @pl.when(n > 0)
+    @pl.when(jnp.logical_not(first_visit))
     def _():
         dk_ref[0, 0] += dk_c
         dv_ref[0, 0] += dv_c
@@ -150,6 +163,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
 
 def _bwd_impl(q, k, v, do, interpret, causal=False):
     b, h, s, dh = q.shape
+    hkv = k.shape[1]
+    group = h // hkv
     t = k.shape[2]
     qp = _pad_to(q, 2, BQ)
     dop = _pad_to(do, 2, BQ)
@@ -160,14 +175,16 @@ def _bwd_impl(q, k, v, do, interpret, causal=False):
     grid = (b, h, sp // BQ)
     blk_q = pl.BlockSpec((1, 1, BQ, dh), lambda i, j, n: (i, j, n, 0),
                          memory_space=pltpu.VMEM)
-    blk_kv = pl.BlockSpec((1, 1, tp, dh), lambda i, j, n: (i, j, 0, 0),
+    blk_kv = pl.BlockSpec((1, 1, tp, dh),
+                          lambda i, j, n: (i, j // group, 0, 0),
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, valid_len=t, scale=1.0, causal=causal),
+        functools.partial(_bwd_kernel, valid_len=t, scale=1.0, causal=causal,
+                          group=group),
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sp, dh), q.dtype),
-            jax.ShapeDtypeStruct((b, h, tp, dh), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, tp, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, tp, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, tp, dh), jnp.float32),
         ],
         grid=grid,
         in_specs=[blk_q, blk_kv, blk_kv, blk_q],
@@ -210,9 +227,12 @@ def flash_mha(
     expected pre-scaled (Whisper convention) — no extra scaling applied.
     Returns (B, H, S, dh). ``causal=True`` masks col > row (requires
     S == T: the context-phase square case, ≙ the reference's causal
-    context FMHA). Differentiable either way: a custom VJP runs the fused
-    backward kernel (`_bwd_kernel`), so the training path may keep the
-    kernel enabled."""
+    context FMHA). K/V may carry fewer heads (MQA/GQA, Hkv | H): q-head j
+    reads kv-head j // (H/Hkv) straight from the block index map — the
+    repeated-K/V tensor never exists. Differentiable either way: a custom
+    VJP runs the fused backward kernel (`_bwd_kernel`), so the training
+    path may keep the kernel enabled."""
     if causal:
         assert q.shape[2] == k.shape[2], "causal flash requires S == T"
+    assert q.shape[1] % k.shape[1] == 0, "H must be a multiple of Hkv"
     return _flash(q, k, v, interpret, causal)
