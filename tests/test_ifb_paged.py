@@ -1,4 +1,4 @@
-"""Paged-KV continuous batching: block-table attention + BlocksManager
+"""Paged-KV continuous batching: block-table attention + BlockLedger
 admission control must reproduce single-request greedy outputs exactly (the
 reference's batch_manager + paged gptAttention pairing, reference:
 cpp/tensorrt_llm/batch_manager/trtGptModelInflightBatching.h,

@@ -1,8 +1,9 @@
-"""Paged KV cache: host-side block manager scenarios (mirrors reference:
-tests/test_kv_cache_manager.py) plus device-side numerics — paged attention
-through block tables must equal the contiguous cache bit-for-bit on the same
-tokens (the property the reference trusts its pointer plumbing to have but
-never tests end-to-end)."""
+"""Paged KV cache: host-side block-ledger scenarios (covering the behaviors
+of reference: tests/test_kv_cache_manager.py — refcounting, beam sharing,
+exhaustion, the grow/retire/compact lifecycle) plus device-side numerics —
+paged attention through block tables must equal the contiguous cache
+bit-for-bit on the same tokens (the property the reference trusts its
+pointer plumbing to have but never tests end-to-end)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -17,159 +18,140 @@ from whisper_trtllm_tpu.ops.attention import (
     update_kv_cache,
 )
 from whisper_trtllm_tpu.runtime.kv_cache_manager import (
-    Block,
-    BlocksManager,
-    GenerationSequence,
-    KVCacheManager,
+    BlockLedger,
+    PagedKVCache,
 )
 
 
-def test_block_refcount():
-    """(reference: tests/test_kv_cache_manager.py::test_block — minus the
-    pointer accessors: blocks are pool indices here)."""
-    block = Block(block_idx=7)
-    block.add_link()
-    assert block.ref_count == 1
-    block.add_link()
-    assert block.ref_count == 2 and block.has_link()
-    block.remove_link()
-    block.remove_link()
-    assert block.ref_count == 0 and not block.has_link()
-    assert block.idx == 7
+def test_ledger_refcounts():
+    """Take/ref/unref accounting (the Block.add_link/remove_link behavior of
+    reference test_kv_cache_manager.py::test_block, as vector ops)."""
+    ledger = BlockLedger(4)
+    assert ledger.free == 4
+    got = ledger.take(2)
+    np.testing.assert_array_equal(got, [0, 1])  # fresh ledger: ascending
+    assert ledger.free == 2
+    assert ledger.refcount(0) == 1
+    ledger.ref([0, 0])  # repeated entries accumulate
+    assert ledger.refcount(0) == 3
+    ledger.unref([0, 0, 1])
+    assert ledger.refcount(0) == 1 and ledger.refcount(1) == 0
+    assert ledger.free == 3  # block 1 returned
+    ledger.unref([0])
+    assert ledger.free == 4
+    with pytest.raises(RuntimeError, match="underflow"):
+        ledger.unref([0])
 
 
-def test_sequence_identity():
-    """(reference: test_kv_cache_manager.py::test_sequence)."""
-    seq = GenerationSequence(seq_idx=1, batch_idx=0)
-    assert seq.get_batch_idx() == 0
-    assert seq.get_seq_idx() == 1
-    assert seq != GenerationSequence(seq_idx=1, batch_idx=1)
-    assert seq == GenerationSequence(seq_idx=1, batch_idx=0)
-    assert seq != GenerationSequence(seq_idx=0, batch_idx=0)
+def test_ledger_shared_birth_and_exhaustion():
+    ledger = BlockLedger(2)
+    got = ledger.take(1, refs=4)  # born beam-shared
+    assert ledger.refcount(int(got[0])) == 4
+    ledger.take(1)
+    with pytest.raises(MemoryError, match="exhausted"):
+        ledger.take(1)
+    # a failed take mutates nothing
+    assert ledger.free == 0
+    ledger.unref(np.repeat(got, 4))
+    assert ledger.free == 1
 
 
-def _allocate_all(manager, sequences, block_len):
-    for _ in range(block_len):
-        for seq in sequences:
-            assert manager.has_free_block()
-            manager.allocate(seq)
-    assert not manager.has_free_block()
+def test_ledger_recycles_freed_blocks():
+    """Freed indices come back off the stack before untouched ones."""
+    ledger = BlockLedger(8)
+    a = ledger.take(3)
+    ledger.unref(a[1:2])  # free block 1 only
+    b = ledger.take(1)
+    assert int(b[0]) == 1  # LIFO: most recently freed first
+    assert ledger.free == 5
 
 
-def _verify_table(manager, sequences, block_len, max_blocks_per_seq):
-    table = manager.get_block_table()
-    assert table.shape == (len(sequences), 1, max_blocks_per_seq)
-    # round-robin allocation order ⇒ lane b's i-th block has pool index
-    # i*len(sequences)+b (the index analog of the reference's
-    # verify_pointer_array address arithmetic)
-    for seq in sequences:
-        b = seq.get_batch_idx()
-        for i in range(max_blocks_per_seq):
-            expect = i * len(sequences) + b if i < block_len else -1
-            assert table[b, 0, i] == expect
+def test_cache_round_robin_tables():
+    """Interleaved growth across a full batch fills the pool exactly and
+    lands round-robin indices in the table (the index analog of the
+    reference's verify_pointer_array address arithmetic); releasing rows
+    returns every block."""
+    n_seq, mbs, tpb = 8, 8, 4
+    cache = PagedKVCache(num_blocks=n_seq * mbs, tokens_per_block=tpb,
+                         max_blocks_per_seq=mbs)
+    for _ in range(n_seq):
+        cache.admit(tpb - 1)  # 1 block each: ctx+1 == tpb
+    # step until every row owns all mbs blocks: each row grows by one block
+    # every tpb steps, interleaved in batch order
+    for _ in range((mbs - 1) * tpb):
+        cache.advance([False] * n_seq)
+    assert cache.ledger.free == 0
+    table = cache.block_tables()
+    assert table.shape == (n_seq, 1, mbs)
+    for b in range(n_seq):
+        for i in range(mbs):
+            assert table[b, 0, i] == i * n_seq + b
+    # rows full: the next boundary crossing raises
+    with pytest.raises(RuntimeError, match="max_blocks_per_seq"):
+        for _ in range(tpb):
+            cache.advance([False] * n_seq)
+    # retiring everything returns every block
+    cache.advance([True] * n_seq)
+    assert cache.ledger.free == n_seq * mbs and len(cache) == 0
 
 
-def test_blocks_manager_allocate_free():
-    """(reference: test_kv_cache_manager.py::test_blocks_manager_single_pool
-    — table-index form; the multi-pool variant collapses away because one
-    index addresses every layer's pools)."""
-    max_seq, max_blocks_per_seq = 8, 8
-    sequences = [GenerationSequence(seq_idx=i, batch_idx=i)
-                 for i in range(max_seq)]
-    manager = BlocksManager(blocks=max_seq * max_blocks_per_seq,
-                            max_blocks_per_seq=max_blocks_per_seq)
-    assert len(manager.free_blocks) == max_seq * max_blocks_per_seq
+def test_cache_lifecycle_grow_retire_compact():
+    """Grow/retire/compact scenario (same lens 30/35/31 and
+    tokens_per_block=32 as reference
+    test_kv_cache_manager.py::test_kv_cache_manager)."""
+    cache = PagedKVCache(num_blocks=128, tokens_per_block=32,
+                         max_blocks_per_seq=16)
+    for n in (30, 35, 31):
+        cache.admit(n)
 
-    _allocate_all(manager, sequences, max_blocks_per_seq)
-    _verify_table(manager, sequences, max_blocks_per_seq, max_blocks_per_seq)
-    for seq in sequences:
-        manager.free(seq)
-        assert len(manager.free_blocks) == \
-            (seq.get_batch_idx() + 1) * max_blocks_per_seq
+    def blocks_of(b):
+        return int((cache.block_tables()[b, 0] >= 0).sum())
 
-    # 2x sequences with half the blocks each
-    manager = BlocksManager(blocks=max_seq * max_blocks_per_seq,
-                            max_blocks_per_seq=max_blocks_per_seq)
-    sequences_2x = [GenerationSequence(seq_idx=i, batch_idx=i)
-                    for i in range(2 * max_seq)]
-    _allocate_all(manager, sequences_2x, max_blocks_per_seq // 2)
-    _verify_table(manager, sequences_2x, max_blocks_per_seq // 2,
-                  max_blocks_per_seq)
-
-    # exhaustion raises (the admission-control signal IFB acts on)
-    manager = BlocksManager(blocks=max_seq * max_blocks_per_seq,
-                            max_blocks_per_seq=max_blocks_per_seq)
-    _allocate_all(manager, sequences, max_blocks_per_seq)
-    with pytest.raises(RuntimeError, match="Can't allocate new block"):
-        manager.allocate(sequences[0])
-
-
-def test_blocks_manager_beam_sharing():
-    """(reference: test_kv_cache_manager.py::test_blocks_manager_beam)."""
-    beam_width = 4
-    blocks = 32
-    manager = BlocksManager(blocks=blocks, max_blocks_per_seq=8,
-                            beam_width=beam_width)
-    s0 = GenerationSequence(seq_idx=0, batch_idx=0)
-    s1 = GenerationSequence(seq_idx=1, batch_idx=1)
-
-    manager.allocate(s0, share_across_beam=True)
-    beams = manager.allocated_blocks[s0]
-    assert beams[0][0].idx == beams[1][0].idx == beams[2][0].idx \
-        == beams[3][0].idx
-    assert beams[1][0].ref_count == beam_width
-
-    manager.allocate(s1, share_across_beam=False)
-    beams = manager.allocated_blocks[s1]
-    idxs = {beams[bi][0].idx for bi in range(beam_width)}
-    assert len(idxs) == beam_width
-    assert all(beams[bi][0].ref_count == 1 for bi in range(beam_width))
-
-    manager.free(s1)
-    assert len(manager.free_blocks) == blocks - 1  # shared block still held
-    manager.free(s0)
-    assert len(manager.free_blocks) == blocks
-
-
-def test_kv_cache_manager_lifecycle():
-    """Step/retire/compact scenario (reference:
-    test_kv_cache_manager.py::test_kv_cache_manager, same lens 30/35/31 and
-    tokens_per_block=32)."""
-    manager = KVCacheManager(blocks=128, tokens_per_block=32,
-                             max_blocks_per_seq=16)
-    manager.add_sequence(GenerationSequence(seq_idx=0, batch_idx=0), 30)
-    manager.add_sequence(GenerationSequence(seq_idx=1, batch_idx=1), 35)
-    manager.add_sequence(GenerationSequence(seq_idx=2, batch_idx=2), 31)
-
-    def blocks_of(table, b):
-        return int((table[b, 0] >= 0).sum())
-
-    table = manager.get_block_tables()
-    assert [blocks_of(table, b) for b in range(3)] == [1, 2, 1]
-    assert manager.lens == [30, 35, 31]
+    assert [blocks_of(b) for b in range(3)] == [1, 2, 1]
+    assert list(cache.lengths) == [30, 35, 31]
 
     for _ in range(3):
-        manager.step([False, False, False])
-    table = manager.get_block_tables()
-    assert [blocks_of(table, b) for b in range(3)] == [2, 2, 2]
-    assert manager.lens == [33, 38, 34]
+        cache.advance([False, False, False])
+    assert [blocks_of(b) for b in range(3)] == [2, 2, 2]
+    assert list(cache.lengths) == [33, 38, 34]
 
-    # retire the middle sequence: batch indices compact, lens shift
-    manager.step([False, True, False])
-    assert len(manager.sequences) == 2 and manager.lens == [34, 35]
-    table = manager.get_block_tables()
-    assert table.shape[0] == 2
-    assert [blocks_of(table, b) for b in range(2)] == [2, 2]
+    # retire the middle sequence: rows compact, lengths shift
+    cache.advance([False, True, False])
+    assert len(cache) == 2 and list(cache.lengths) == [34, 35]
+    assert cache.block_tables().shape[0] == 2
+    assert [blocks_of(b) for b in range(2)] == [2, 2]
 
-    manager.step([False, True])
-    assert len(manager.sequences) == 1 and manager.lens == [35]
-    assert blocks_of(manager.get_block_tables(), 0) == 2
+    cache.advance([False, True])
+    assert len(cache) == 1 and list(cache.lengths) == [35]
+    assert blocks_of(0) == 2
 
     # freed blocks actually return to the pool
-    free0 = len(manager.blocks_manager.free_blocks)
-    manager.step([True])
-    assert len(manager.blocks_manager.free_blocks) > free0
-    assert manager.sequences == [] and manager.lens == []
+    free0 = cache.ledger.free
+    cache.advance([True])
+    assert cache.ledger.free > free0
+    assert len(cache) == 0 and cache.lengths.size == 0
+
+
+def test_growth_pool_exhaustion():
+    """A boundary crossing with a dry pool raises the back-pressure signal."""
+    cache = PagedKVCache(num_blocks=2, tokens_per_block=2,
+                         max_blocks_per_seq=4)
+    cache.admit(1)
+    cache.advance([False])  # len 1->2 crosses: takes the last block
+    cache.advance([False])  # len 2->3, within the block
+    with pytest.raises(MemoryError, match="exhausted"):
+        cache.advance([False])  # len 3 crosses with nothing left
+    # the failed step didn't advance the row
+    assert list(cache.lengths) == [3]
+
+
+def test_failed_admission_leaves_no_state():
+    cache = PagedKVCache(num_blocks=1, tokens_per_block=4,
+                         max_blocks_per_seq=4)
+    cache.admit(3)
+    with pytest.raises(MemoryError):
+        cache.admit(3)
+    assert len(cache) == 1 and cache.ledger.free == 0
 
 
 def _write_context_paged(pool_k, pool_v, k_ctx, v_ctx, table, lengths):
@@ -186,23 +168,23 @@ def _write_context_paged(pool_k, pool_v, k_ctx, v_ctx, table, lengths):
 
 def test_paged_decode_matches_contiguous(rng):
     """End-to-end numerics: ragged context fill + 6 decode steps with
-    manager-driven block growth — paged attention must equal the contiguous
+    ledger-driven block growth — paged attention must equal the contiguous
     cache exactly (same dtype, same masked-softmax path)."""
     b, h, dh, tpb, mbs = 2, 2, 8, 4, 4
     tmax = tpb * mbs
     ctx = [5, 3]
     steps = 6
 
-    manager = KVCacheManager(blocks=10, tokens_per_block=tpb,
-                             max_blocks_per_seq=mbs)
-    for i, n in enumerate(ctx):
-        manager.add_sequence(GenerationSequence(seq_idx=i, batch_idx=i), n)
+    cache = PagedKVCache(num_blocks=10, tokens_per_block=tpb,
+                         max_blocks_per_seq=mbs)
+    for n in ctx:
+        cache.admit(n)
 
     k_ctx = (rng.standard_normal((b, h, max(ctx), dh)) * 0.4).astype(np.float32)
     v_ctx = rng.standard_normal((b, h, max(ctx), dh)).astype(np.float32)
 
     pool_k, pool_v = init_paged_kv_cache(10, tpb, h, dh)
-    table = manager.get_block_tables()[:, 0]
+    table = cache.block_tables()[:, 0]
     pool_k, pool_v = _write_context_paged(
         pool_k, pool_v, jnp.asarray(k_ctx), jnp.asarray(v_ctx), table, ctx)
 
@@ -217,7 +199,7 @@ def test_paged_decode_matches_contiguous(rng):
         k_new = (rng.standard_normal((b, h, 1, dh)) * 0.4).astype(np.float32)
         v_new = rng.standard_normal((b, h, 1, dh)).astype(np.float32)
 
-        table = manager.get_block_tables()[:, 0]
+        table = cache.block_tables()[:, 0]
         pool_k, pool_v = paged_update_kv_cache(
             pool_k, pool_v, jnp.asarray(k_new), jnp.asarray(v_new),
             jnp.asarray(table), jnp.asarray(lens))
@@ -235,8 +217,8 @@ def test_paged_decode_matches_contiguous(rng):
         # contiguous (B,H,T,dh), so XLA fuses the dots differently
         np.testing.assert_allclose(paged, contig, atol=3e-7, rtol=1e-6)
 
-        manager.step([False] * b)
-        assert manager.lens == list(lens)
+        cache.advance([False] * b)
+        assert list(cache.lengths) == list(lens)
 
 
 def test_paged_decode_per_lane_padding_masked(rng):
@@ -271,23 +253,63 @@ def test_paged_decode_per_lane_padding_masked(rng):
 
 
 def test_beam_width_context_alignment():
-    """Beam sharing requires block-aligned context (the reference's
-    documented FIXME restriction, kv_cache_manager.py:271-275)."""
-    manager = KVCacheManager(blocks=64, tokens_per_block=8,
-                             max_blocks_per_seq=4, beam_width=2)
-    with pytest.raises(AssertionError):
-        manager.add_sequence(GenerationSequence(seq_idx=0, batch_idx=0), 5)
-    manager.add_sequence(GenerationSequence(seq_idx=1, batch_idx=0), 8)
-    table = manager.get_block_tables()
+    """Beam sharing requires block-aligned context (the restriction the
+    reference documents as a FIXME, kv_cache_manager.py:271-275); context
+    blocks are shared across beams, generation growth diverges per beam."""
+    cache = PagedKVCache(num_blocks=64, tokens_per_block=8,
+                         max_blocks_per_seq=4, beam_width=2)
+    with pytest.raises(ValueError, match="block-aligned"):
+        cache.admit(5)
+    assert len(cache) == 0  # failed admission left nothing behind
+    cache.admit(8)
+    table = cache.block_tables()
     assert table.shape == (1, 2, 4)
-    # context blocks shared across beams
-    np.testing.assert_array_equal(table[0, 0], table[0, 1])
-    # generation-phase growth diverges per beam
-    manager.step([False])  # len 8 -> 9, no boundary yet (9 % 8 != 7)
-    for _ in range(6):
-        manager.step([False])
-    manager.step([False])  # len 15 -> crosses: fresh per-beam blocks
-    table = manager.get_block_tables()
+    # context block shared across beams at beam_width refs; the block
+    # receiving the first GENERATED token is already private per beam
+    # (beams write it divergently — the miswrite the reference's shared
+    # reservation would allow)
+    assert table[0, 0, 0] == table[0, 1, 0]
+    assert cache.ledger.refcount(int(table[0, 0, 0])) == 2
+    assert table[0, 0, 1] != table[0, 1, 1]
+    assert cache.ledger.refcount(int(table[0, 0, 1])) == 1
+    # generation-phase growth also diverges per beam
+    for _ in range(7):
+        cache.advance([False])  # len 8 -> 15, no boundary yet
+    cache.advance([False])  # len 15 -> crosses: fresh per-beam blocks
+    table = cache.block_tables()
     assert table[0, 0, 2] >= 0 and table[0, 1, 2] >= 0
     assert table[0, 0, 2] != table[0, 1, 2]
-    assert (table[0, 0, :2] == table[0, 1, :2]).all()
+    assert table[0, 0, 0] == table[0, 1, 0]
+    # retiring the row drops the shared block once and privates once each
+    cache.advance([True])
+    assert cache.ledger.free == 64
+
+
+def test_reorder_beams_moves_refcounts():
+    """Beam reorder re-parents block lists: adopted rows gain links, orphaned
+    private tails return to the pool (the table half of the reference's
+    cache_indirection ping-pong)."""
+    cache = PagedKVCache(num_blocks=16, tokens_per_block=4,
+                         max_blocks_per_seq=4, beam_width=2)
+    cache.admit(4)  # col 0 shared context, col 1 per-beam private tails
+    t0 = cache.block_tables()[0]
+    priv0, priv1 = int(t0[0, 1]), int(t0[1, 1])
+    assert priv0 != priv1
+    free_before = cache.ledger.free
+    cache.reorder_beams(0, [0, 0])  # beam 1 adopts beam 0's history
+    t1 = cache.block_tables()[0]
+    np.testing.assert_array_equal(t1[0], t1[1])
+    assert cache.ledger.refcount(priv0) == 2
+    assert cache.ledger.refcount(priv1) == 0  # orphaned, recycled
+    assert cache.ledger.free == free_before + 1
+
+    # fork_tail gives each beam a private tail again, reporting copy pairs
+    pairs = cache.fork_tail(0)
+    t2 = cache.block_tables()[0]
+    assert t2[0, 1] != t2[1, 1]
+    # exactly one beam kept the original (src==dst), one got a fresh dst
+    kept = [tuple(p) for p in pairs if p[0] == p[1]]
+    moved = [tuple(p) for p in pairs if p[0] != p[1]]
+    assert len(kept) == 1 and len(moved) == 1
+    assert moved[0][0] == priv0  # copy sourced from the shared tail
+    assert cache.ledger.refcount(priv0) == 1

@@ -4,9 +4,7 @@ from whisper_trtllm_tpu.runtime.generation import (  # noqa: F401
     transcribe_tokens,
 )
 from whisper_trtllm_tpu.runtime.kv_cache_manager import (  # noqa: F401
-    Block,
-    BlocksManager,
-    GenerationSequence,
-    KVCacheManager,
+    BlockLedger,
+    PagedKVCache,
 )
 from whisper_trtllm_tpu.runtime.session import WhisperSession  # noqa: F401

@@ -7,7 +7,7 @@ and the attention plugin consumes per-request block-pointer arrays
 tensorrt_llm/runtime/generation.py:842-855,977-988 paged hooks,
 docs/gpt_attention.md paged KV section). This module is that pairing on
 TPU: `runtime/ifb_lm.py`'s fixed-lane segment loop + the block-table paged
-attention ops (ops/attention.py) + the refcounted BlocksManager
+attention ops (ops/attention.py) + the refcounted BlockLedger
 (runtime/kv_cache_manager.py).
 
 What paging buys over the dense batcher: lanes no longer reserve
@@ -36,10 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from whisper_trtllm_tpu.runtime.kv_cache_manager import (
-    BlocksManager,
-    GenerationSequence,
-)
+from whisper_trtllm_tpu.runtime.kv_cache_manager import BlockLedger
 
 
 class PagedLaneState(NamedTuple):
@@ -93,13 +90,12 @@ class PagedCausalLMInflightBatcher:
         self._prefill = prefill
         self._step = step
 
-        self.blocks_manager = BlocksManager(
-            blocks=num_blocks, max_blocks_per_seq=self.max_blocks_per_seq)
+        self.ledger = BlockLedger(num_blocks)
         # lane -> host block-table row; -1 everywhere when the lane is free,
         # so a retired lane's in-flight writes drop at the scatter
         self._tables = np.full(
             (num_lanes, self.max_blocks_per_seq), -1, np.int32)
-        self._lane_seq: List[Optional[GenerationSequence]] = [None] * num_lanes
+        self._owned = np.zeros(num_lanes, np.int32)
 
         pool_shape = (n_layer, num_blocks, tokens_per_block,
                       cache_heads, head_dim)
@@ -195,30 +191,25 @@ class PagedCausalLMInflightBatcher:
 
     # -- host-side block bookkeeping --------------------------------------------
     def _blocks_of(self, lane: int) -> int:
-        seq = self._lane_seq[lane]
-        if seq is None:
-            return 0
-        return self.blocks_manager.get_number_blocks(seq)
+        return int(self._owned[lane])
 
     def _grow(self, lane: int, want_blocks: int) -> None:
-        """Allocate blocks for ``lane`` until it owns ``want_blocks`` (or the
-        pool runs dry), mirroring KVCacheManager.step()'s boundary-crossing
-        allocation at segment granularity."""
-        seq = self._lane_seq[lane]
+        """Take blocks for ``lane`` until it owns ``want_blocks`` (or the
+        pool runs dry) — PagedKVCache.advance()'s boundary-crossing growth
+        at segment granularity."""
         want_blocks = min(want_blocks, self.max_blocks_per_seq)
-        while self._blocks_of(lane) < want_blocks:
-            if not self.blocks_manager.has_free_block():
-                return
-            self.blocks_manager.allocate(seq)
-            li = self._blocks_of(lane) - 1
-            self._tables[lane, li] = \
-                self.blocks_manager.allocated_blocks[seq][0][li].idx
+        have = int(self._owned[lane])
+        n = min(want_blocks - have, self.ledger.free)
+        if n > 0:
+            self._tables[lane, have:have + n] = self.ledger.take(n)
+            self._owned[lane] = have + n
 
     def _free_lane(self, lane: int) -> None:
-        if self._lane_seq[lane] is not None:
-            self.blocks_manager.free(self._lane_seq[lane])
-            self._lane_seq[lane] = None
+        have = int(self._owned[lane])
+        if have:
+            self.ledger.unref(self._tables[lane, :have])
         self._tables[lane, :] = -1
+        self._owned[lane] = 0
 
     # -- public ------------------------------------------------------------------
     def submit(self, prompt_ids) -> int:
@@ -235,7 +226,7 @@ class PagedCausalLMInflightBatcher:
         return self._results.pop(request_id, None)
 
     def free_blocks(self) -> int:
-        return len(self.blocks_manager.free_blocks)
+        return self.ledger.free
 
     def run(self, max_segments: int = 10_000) -> None:
         if self._segment_fn is None:
@@ -305,11 +296,9 @@ class PagedCausalLMInflightBatcher:
                 # available NOW or the request waits (the reference
                 # batch_manager's maxNumRequests/KV-capacity gating)
                 need = math.ceil((ids.size + 1) / self.tpb)
-                if len(self.blocks_manager.free_blocks) < need:
+                if self.ledger.free < need:
                     break
                 self._queue.popleft()
-                self._lane_seq[lane] = GenerationSequence(
-                    seq_idx=rid, batch_idx=lane)
                 self._grow(lane, need)
                 row = np.full((1, self.max_prompt_len), self.eos, np.int32)
                 row[0, : ids.size] = ids

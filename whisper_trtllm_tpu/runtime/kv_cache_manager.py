@@ -1,196 +1,246 @@
-"""Paged KV-cache manager: a block pool with refcounted, beam-shareable
-blocks and per-sequence block tables.
+"""Paged KV-cache accounting as flat array ledgers.
 
-Analog of the reference's paged KV cache (reference:
-tensorrt_llm/runtime/kv_cache_manager.py — Block:8, BlocksManager:58,
-KVCacheManager:214; consumed by the gptAttention plugin's paged_kv_cache
-mode via per-sequence pointer arrays, tensorrt_llm/runtime/generation.py:
-842-855,977-988). One deliberate inversion for TPU: the reference hands the
-kernel raw device *pointer* arrays (int64 addresses into per-layer pools);
-XLA has no pointers, so the device-visible artifact here is a block *table*
-of int32 pool indices, consumed by a gather in the paged attention op
-(ops/attention.py::paged_mha_decode_step / paged_update_kv_cache). Same
-management logic (free-list, refcounts, beam sharing of context blocks,
-boundary-crossing allocation in step()), different addressing.
+Role analog of the reference's paged KV manager (reference:
+tensorrt_llm/runtime/kv_cache_manager.py, consumed by the gptAttention
+plugin's paged_kv_cache mode via tensorrt_llm/runtime/generation.py:
+842-855,977-988) — re-designed rather than transcribed. The reference walks
+an object graph: per-block refcount objects, per-sequence python lists of
+them, a dict keyed by sequence identity, and a pointer array rebuilt from
+scratch on every query. Here ALL state is a handful of flat numpy vectors:
 
-The manager is host-side Python in both frameworks: it runs between jitted
-decode segments, and its tables enter the graph as ordinary int32 device
-arrays — no recompilation, because table *shapes* are static
-(max_blocks_per_seq).
+  * ``BlockLedger`` — a refcount vector plus a LIFO free stack (two int32
+    arrays and an integer top-of-stack). Taking or releasing N blocks is
+    O(N) numpy slicing, never an object walk.
+  * ``PagedKVCache`` — a dense (batch, beam, max_blocks_per_seq) int32 block
+    table maintained *incrementally*, with per-row owned-block and
+    token-length vectors. Advancing the whole batch one token is a masked
+    add + modulo test + boolean compaction.
+
+The device-visible artifact is the int32 block table itself, consumed by a
+gather in ops/attention.py::paged_mha_decode_step / paged_update_kv_cache —
+not the reference's int64 device-pointer arrays (XLA has no pointers). The
+manager stays host-side in both frameworks: it runs between jitted decode
+segments, and tables enter the graph as ordinary int32 arrays without
+recompilation because their shapes are static.
 """
 
 from __future__ import annotations
 
-import math
-from collections import defaultdict
-from typing import List
-
 import numpy as np
 
 
-class Block:
-    """One pool block with a reference count (reference: Block,
-    tensorrt_llm/runtime/kv_cache_manager.py:8-29 — minus the k/v pointer
-    pairs: a block is identified by its pool index alone here, and K/V live
-    in two same-shape pools indexed identically)."""
+class BlockLedger:
+    """Refcounted block-pool accounting: one refcount vector + a LIFO free
+    stack. Blocks are plain int32 pool indices; K and V pools (and every
+    layer's pools) are addressed by the same index, so there is no per-block
+    state beyond the refcount."""
 
-    def __init__(self, block_idx: int):
-        self.idx = block_idx
-        self.ref_count = 0
+    def __init__(self, num_blocks: int):
+        if num_blocks < 1:
+            raise ValueError("num_blocks must be >= 1")
+        self._refs = np.zeros(num_blocks, np.int32)
+        # stack[:top] holds the free pool indices. Initialised descending so
+        # a fresh ledger hands out 0, 1, 2, ... (pops come off the end).
+        self._stack = np.arange(num_blocks - 1, -1, -1, dtype=np.int32)
+        self._top = num_blocks
 
-    def add_link(self):
-        self.ref_count += 1
+    @property
+    def num_blocks(self) -> int:
+        return self._refs.size
 
-    def remove_link(self):
-        self.ref_count -= 1
+    @property
+    def free(self) -> int:
+        """Blocks currently on the free stack."""
+        return self._top
 
-    def has_link(self) -> bool:
-        return self.ref_count > 0
+    def refcount(self, block: int) -> int:
+        return int(self._refs[block])
 
+    def take(self, n: int, refs: int = 1) -> np.ndarray:
+        """Pop ``n`` blocks off the free stack, each with ``refs`` initial
+        links (refs > 1 admits a block born shared, e.g. across beams).
+        Raises MemoryError when the pool can't supply ``n`` — the admission
+        back-pressure signal continuous batchers act on."""
+        if n > self._top:
+            raise MemoryError(
+                f"paged KV pool exhausted: want {n} block(s), "
+                f"{self._top} free of {self._refs.size}")
+        got = self._stack[self._top - n:self._top][::-1].copy()
+        self._top -= n
+        self._refs[got] = refs
+        return got
 
-class GenerationSequence:
-    """(reference: GenerationSequence, kv_cache_manager.py:32-55)"""
+    def ref(self, blocks) -> None:
+        """Add one link per entry (repeated indices accumulate)."""
+        np.add.at(self._refs, np.asarray(blocks, np.int64).ravel(), 1)
 
-    def __init__(self, seq_idx: int, batch_idx: int):
-        self.seq_idx = seq_idx
-        self.batch_idx = batch_idx
-
-    def get_batch_idx(self) -> int:
-        return self.batch_idx
-
-    def get_seq_idx(self) -> int:
-        return self.seq_idx
-
-    def __eq__(self, other):
-        return (hasattr(other, "seq_idx") and self.seq_idx == other.seq_idx
-                and hasattr(other, "batch_idx")
-                and self.batch_idx == other.batch_idx)
-
-    def __hash__(self):
-        return self.seq_idx
-
-
-class BlocksManager:
-    """Free-list block allocator with beam-shared refcounting (reference:
-    BlocksManager, kv_cache_manager.py:58-212). No memory pools here — pool
-    arrays are owned by the model session as jax arrays; this class only
-    hands out indices into them."""
-
-    def __init__(self, blocks: int, max_blocks_per_seq: int = 128,
-                 beam_width: int = 1):
-        self.blocks = blocks
-        self.max_blocks_per_seq = max_blocks_per_seq
-        self.beam_width = beam_width
-        self.free_blocks: List[Block] = [Block(bi) for bi in range(blocks)]
-        self.allocated_blocks = defaultdict(
-            lambda: [[] for _ in range(self.beam_width)])
-
-    def has_free_block(self) -> bool:
-        return len(self.free_blocks) > 0
-
-    def allocate(self, owner: GenerationSequence,
-                 share_across_beam: bool = False):
-        """Append one block per beam to ``owner`` (a single shared block when
-        share_across_beam — the context-phase path)."""
-        block = None
-        for bi in range(self.beam_width):
-            if not self.has_free_block():
-                raise RuntimeError("Can't allocate new block for KV cache")
-            if block is None or not share_across_beam:
-                block = self.free_blocks.pop(0)
-            block.add_link()
-            self.allocated_blocks[owner][bi].append(block)
-
-    def free(self, owner: GenerationSequence):
-        """Unlink all of ``owner``'s blocks; zero-ref blocks return to the
-        free list; the owner is forgotten."""
-        for bi in range(self.beam_width):
-            for block in self.allocated_blocks[owner][bi]:
-                block.remove_link()
-                if not block.has_link():
-                    self.free_blocks.append(block)
-        self.allocated_blocks.pop(owner)
-
-    def get_number_blocks(self, owner: GenerationSequence) -> int:
-        return len(self.allocated_blocks[owner][0])
-
-    def get_block_table(self) -> np.ndarray:
-        """(num_sequences, beam_width, max_blocks_per_seq) int32 of pool
-        indices, -1 where unallocated — the gather-table analog of the
-        reference's (B, beam, 2, max_blocks) int64 pointer array
-        (kv_cache_manager.py:154-175; no K/V axis: the same index addresses
-        both pools)."""
-        table = np.full(
-            (len(self.allocated_blocks), self.beam_width,
-             self.max_blocks_per_seq), -1, np.int32)
-        for owner, beams in self.allocated_blocks.items():
-            for bi in range(self.beam_width):
-                for li, block in enumerate(beams[bi]):
-                    table[owner.get_batch_idx(), bi, li] = block.idx
-        return table
+    def unref(self, blocks) -> None:
+        """Drop one link per entry (repeated indices accumulate); any block
+        whose count reaches zero returns to the free stack."""
+        blocks = np.asarray(blocks, np.int64).ravel()
+        np.add.at(self._refs, blocks, -1)
+        uniq = np.unique(blocks)
+        if (self._refs[uniq] < 0).any():
+            raise RuntimeError("block refcount underflow (double free)")
+        dead = uniq[self._refs[uniq] == 0].astype(np.int32)
+        self._stack[self._top:self._top + dead.size] = dead
+        self._top += dead.size
 
 
-class KVCacheManager:
-    """Sequence lifecycle over a BlocksManager (reference: KVCacheManager,
-    kv_cache_manager.py:214-292): add_sequence allocates context blocks
-    (beam-shared), step() grows sequences across block boundaries and
-    retires finished ones, remapping batch indices compactly."""
+class PagedKVCache:
+    """Dense-batch sequence lifecycle over a :class:`BlockLedger`.
 
-    def __init__(self, blocks: int, tokens_per_block: int,
+    Batch row ``b`` of every internal array refers to the b-th *live*
+    sequence; retiring sequences compacts all rows with one boolean index,
+    so :meth:`block_tables` always lines up with the decode step's lane
+    arrays. Context blocks are born shared across beams (``refs=beam``);
+    generation-phase growth takes one private block per beam — the sharing
+    semantics the reference implements via per-beam lists of linked Block
+    objects (kv_cache_manager.py:91-130), done here with a single broadcast
+    write into the table.
+    """
+
+    def __init__(self, num_blocks: int, tokens_per_block: int,
                  max_blocks_per_seq: int, beam_width: int = 1):
-        self.blocks_manager = BlocksManager(
-            blocks=blocks, max_blocks_per_seq=max_blocks_per_seq,
-            beam_width=beam_width)
-        self.tokens_per_block = tokens_per_block
-        self.beam_width = beam_width
-        self.lens: List[int] = []
-        self.sequences: List[GenerationSequence] = []
+        self.ledger = BlockLedger(num_blocks)
+        self.tokens_per_block = int(tokens_per_block)
+        self.max_blocks_per_seq = int(max_blocks_per_seq)
+        self.beam_width = int(beam_width)
+        self._tab = np.full((0, self.beam_width, self.max_blocks_per_seq),
+                            -1, np.int32)
+        self._owned = np.zeros(0, np.int32)   # table columns in use per row
+        self._len = np.zeros(0, np.int32)     # tokens stored per row
 
-    def step(self, finished: List[bool]):
-        """Advance every live sequence by one token: allocate a fresh block
-        for any sequence whose next token crosses a block boundary, free
-        finished sequences, compact batch indices."""
-        for seq in self.sequences:
-            bi = seq.get_batch_idx()
-            if (not finished[bi] and self.lens[bi] % self.tokens_per_block
-                    == self.tokens_per_block - 1):
-                self.blocks_manager.allocate(seq)
-            self.lens[bi] += 1
+    def __len__(self) -> int:
+        return self._len.size
 
-        for fi, fin in enumerate(finished):
-            if fin:
-                self.blocks_manager.free(self.sequences[fi])
-        self.lens = [l for l, f in zip(self.lens, finished) if not f]
+    @property
+    def lengths(self) -> np.ndarray:
+        """Per-row token counts (copy)."""
+        return self._len.copy()
 
-        new_sequences = []
-        batch_idx = 0
-        for seq, fin in zip(self.sequences, finished):
-            if not fin:
-                seq.batch_idx = batch_idx
-                new_sequences.append(seq)
-                batch_idx += 1
-        self.sequences = new_sequences
+    @property
+    def owned_blocks(self) -> np.ndarray:
+        """Per-row owned table columns (copy)."""
+        return self._owned.copy()
 
-    def add_sequence(self, sequence: GenerationSequence, context_len: int):
-        """Admit a sequence, allocating enough beam-shared blocks for its
-        context plus the first generated token (kv_cache_manager.py:263-280,
-        including its beam-alignment restriction)."""
-        # context blocks are shared across beams; a partial tail block would
-        # be written divergently by each beam in the generation phase.
-        # Validated BEFORE mutating (the reference appends first,
-        # kv_cache_manager.py:268-275, leaving a phantom sequence behind a
-        # failed admission).
-        assert self.beam_width == 1 or (
-            self.beam_width > 1
-            and context_len % self.tokens_per_block == 0)
-        self.lens.append(context_len)
-        self.sequences.append(sequence)
-        context_blocks = math.ceil((context_len + 1) / self.tokens_per_block)
-        for _ in range(context_blocks):
-            self.blocks_manager.allocate(sequence, share_across_beam=True)
+    def admit(self, context_len: int) -> int:
+        """Admit one sequence holding ``context_len`` prompt tokens,
+        reserving beam-shared blocks for the context plus the first
+        generated token. Returns the sequence's batch row. The pool is
+        checked before any state mutates — a failed admission leaves no
+        phantom row behind."""
+        if context_len < 0:
+            raise ValueError("context_len must be >= 0")
+        if self.beam_width > 1 and context_len % self.tokens_per_block:
+            # a partial tail block shared across beams would be written
+            # divergently by each beam in the generation phase
+            raise ValueError(
+                f"beam sharing needs block-aligned context: "
+                f"{context_len} % {self.tokens_per_block} != 0")
+        ctx_blocks = -(-context_len // self.tokens_per_block)  # ceil div
+        need = -(-(context_len + 1) // self.tokens_per_block)
+        if need > self.max_blocks_per_seq:
+            raise ValueError(
+                f"context needs {need} blocks > max_blocks_per_seq "
+                f"{self.max_blocks_per_seq}")
+        row = np.full((1, self.beam_width, self.max_blocks_per_seq),
+                      -1, np.int32)
+        if self.beam_width == 1:
+            row[0, :, :need] = self.ledger.take(need)
+        else:
+            # context blocks are shared; the block receiving the FIRST
+            # generated token is private per beam — beams write it
+            # divergently from token one (the reference shares it and lets
+            # beams clobber each other, kv_cache_manager.py:276-280)
+            privates = self.beam_width if need > ctx_blocks else 0
+            if self.ledger.free < ctx_blocks + privates:
+                raise MemoryError(
+                    f"paged KV pool exhausted: want "
+                    f"{ctx_blocks + privates} block(s), "
+                    f"{self.ledger.free} free")
+            row[0, :, :ctx_blocks] = self.ledger.take(
+                ctx_blocks, refs=self.beam_width)
+            if privates:
+                row[0, :, ctx_blocks] = self.ledger.take(privates)
+        self._tab = np.concatenate([self._tab, row])
+        self._owned = np.append(self._owned, np.int32(need))
+        self._len = np.append(self._len, np.int32(context_len))
+        return self._len.size - 1
 
-    def get_block_tables(self) -> np.ndarray:
-        """(num_sequences, beam_width, max_blocks_per_seq) int32 — feed
-        directly (or a [:, 0] slice for beam_width 1) to
+    def advance(self, finished) -> None:
+        """One decode step for the whole batch: rows whose next write would
+        cross a block boundary get one private block per beam, live rows'
+        lengths bump by one, finished rows release their blocks and the
+        batch compacts."""
+        finished = np.asarray(finished, bool)
+        if finished.shape != self._len.shape:
+            raise ValueError(
+                f"finished mask shape {finished.shape} != batch "
+                f"{self._len.shape}")
+        live = ~finished
+        # token index len(b) is about to be written; it opens a new block
+        # exactly when (len+1) crosses a tokens_per_block multiple
+        crossing = live & (self._len % self.tokens_per_block
+                           == self.tokens_per_block - 1)
+        for b in np.flatnonzero(crossing):
+            col = self._owned[b]
+            if col >= self.max_blocks_per_seq:
+                raise RuntimeError(
+                    f"row {b} exceeded max_blocks_per_seq "
+                    f"{self.max_blocks_per_seq}")
+            self._tab[b, :, col] = self.ledger.take(self.beam_width)
+            self._owned[b] += 1
+        self._len[live] += 1
+        if finished.any():
+            for b in np.flatnonzero(finished):
+                held = self._tab[b][self._tab[b] >= 0]
+                if held.size:
+                    self.ledger.unref(held)
+            self._tab = self._tab[live]
+            self._owned = self._owned[live]
+            self._len = self._len[live]
+
+    def reorder_beams(self, row: int, parents) -> None:
+        """Re-parent ``row``'s beams: beam ``i`` adopts the block list of
+        beam ``parents[i]`` (the table-side half of a beam-search reorder;
+        the caller copies any partially-written tail block's K/V between
+        pool slots — see runtime/beam.py's paged path). Refcounts move with
+        the links; beams left childless release their private blocks."""
+        parents = np.asarray(parents, np.int64).ravel()
+        if parents.shape != (self.beam_width,):
+            raise ValueError("parents must have beam_width entries")
+        old = self._tab[row].copy()
+        new = old[parents]
+        held_old = old[old >= 0]
+        held_new = new[new >= 0]
+        self.ledger.ref(held_new)
+        self.ledger.unref(held_old)
+        self._tab[row] = new
+
+    def fork_tail(self, row: int) -> np.ndarray:
+        """Give every beam of ``row`` a private copy of its (possibly
+        shared) last block, returning the (beam, 2) int32 [src, dst] pairs
+        whose pool contents the caller must copy. Beams already sole owner
+        of their tail keep it (src == dst). Used after reorder_beams, where
+        several beams may point at one parent's partially-written tail."""
+        col = int(self._owned[row]) - 1
+        if col < 0:
+            return np.zeros((0, 2), np.int32)
+        pairs = np.zeros((self.beam_width, 2), np.int32)
+        for bi in range(self.beam_width):
+            src = int(self._tab[row, bi, col])
+            if self.ledger.refcount(src) > 1:
+                dst = int(self.ledger.take(1)[0])
+                self.ledger.unref([src])
+                self._tab[row, bi, col] = dst
+            else:
+                dst = src
+            pairs[bi] = (src, dst)
+        return pairs
+
+    def block_tables(self) -> np.ndarray:
+        """(num_live, beam_width, max_blocks_per_seq) int32 pool indices,
+        -1 padded — feed directly (or a [:, 0] slice at beam_width 1) to
         ops.attention.paged_mha_decode_step / paged_update_kv_cache."""
-        return self.blocks_manager.get_block_table()
+        return self._tab.copy()
