@@ -2,9 +2,10 @@
 
 Analog of the reference's WER harness (reference:
 examples/whisper/cal_wer.py:279-287 — OpenAI EnglishTextNormalizer + jiwer).
-Neither package is guaranteed here, so WER is implemented directly
-(word-level Levenshtein) and the normalizer falls back to a basic
-lowercase/punctuation-strip when openai-whisper isn't importable.
+Neither package is guaranteed here, so both halves are self-contained: WER
+is a word-level Levenshtein, and the normalizer is the full English protocol
+re-implemented in utils/normalizer.py (golden-tested against the independent
+HF implementation) — no optional dependency, no silent degradation.
 """
 
 from __future__ import annotations
@@ -12,6 +13,8 @@ from __future__ import annotations
 import re
 import string
 from typing import List, Sequence
+
+from whisper_trtllm_tpu.utils.normalizer import EnglishTextNormalizer
 
 
 def word_error_rate(hypotheses: Sequence[str], references: Sequence[str]) -> float:
@@ -44,14 +47,10 @@ def _edit_distance(a: List[str], b: List[str]) -> int:
 
 
 def get_text_normalizer():
-    """OpenAI EnglishTextNormalizer if available (exact leaderboard metric),
-    else a basic fallback."""
-    try:
-        from whisper.normalizers import EnglishTextNormalizer  # type: ignore
-
-        return EnglishTextNormalizer()
-    except Exception:
-        return basic_normalize
+    """The WER protocol's EnglishTextNormalizer — the self-contained
+    implementation (utils/normalizer.py), always available, so WER numbers
+    are leaderboard-comparable with zero optional dependencies."""
+    return EnglishTextNormalizer()
 
 
 _PUNCT = re.compile(f"[{re.escape(string.punctuation)}]")
