@@ -17,7 +17,7 @@ from typing import Any, Optional, Tuple
 
 
 def _freeze(x):
-    if isinstance(x, list):
+    if isinstance(x, (list, tuple)):
         return tuple(_freeze(v) for v in x)
     return x
 
@@ -209,6 +209,20 @@ class GenerationConfig:
     # caches quantized with per-token scales (QuantMode.INT8_KV_CACHE /
     # FP8_KV_CACHE analogs; fp8 = float8_e4m3fn storage)
     kv_cache_dtype: str = "auto"
+    # word-rule / length processors (the reference DynamicDecodeLayer's
+    # presence_penalty / min_length / bad_words_list / stop_words_list
+    # inputs, cpp/tensorrt_llm/layers/dynamicDecodeLayer.h:37-128), applied
+    # inside the Whisper decode loops like every other processor
+    presence_penalty: float = 0.0
+    min_new_tokens: int = 0
+    # token-id sequences: ban the final token when the trailing context
+    # matches the prefix / end decoding when the full sequence matches
+    bad_words: Tuple[Tuple[int, ...], ...] = ()
+    stop_words: Tuple[Tuple[int, ...], ...] = ()
+
+    def __post_init__(self):
+        object.__setattr__(self, "bad_words", _freeze(self.bad_words))
+        object.__setattr__(self, "stop_words", _freeze(self.stop_words))
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

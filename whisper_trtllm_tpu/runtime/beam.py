@@ -22,6 +22,7 @@ import numpy as np
 from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
 from whisper_trtllm_tpu.models.whisper import model as wmodel
 from whisper_trtllm_tpu.runtime import logits_process as lp
+from whisper_trtllm_tpu.runtime import sampling
 from whisper_trtllm_tpu.runtime.generation import kv_quant_dtype
 
 NEG_INF = jnp.float32(-1.0e9)
@@ -66,11 +67,16 @@ def _beam_decode_impl(
     begin_suppress_mask: jnp.ndarray,
     forced_map: jnp.ndarray,
     begin_index: int,
-    kv_cache_dtype: str = "auto",
+    gen: GenerationConfig = GenerationConfig(),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     batch = enc_states.shape[0]
     dtype = enc_states.dtype
     vocab = cfg.vocab_size
+    kv_cache_dtype = gen.kv_cache_dtype
+    timestamps = gen.return_timestamps
+    # word tables are numpy at trace time (static tuples of python ints)
+    bad_tbl = (tuple(map(jnp.asarray, sampling.pad_word_list(gen.bad_words)))
+               if gen.bad_words else None)
 
     # compute cross-KV once per utterance, then tile beam-major
     # (B, ...) -> (B*K, ...) — the analog of the reference's
@@ -129,10 +135,33 @@ def _beam_decode_impl(
         # shift every cumulative beam score (verified numerically vs
         # transformers 4.57 with a non-empty suppress list).
         logp = jax.nn.log_softmax(logits, axis=-1)
+        # the remaining processors operate on the log-softmaxed scores, like
+        # HF's beam-search processor list (-inf masks and additive penalties
+        # compose the same either side of the softmax; keeping them here
+        # preserves the cumulative-score parity noted above)
+        flat_tokens = s.alive_tokens.reshape(batch * k, max_len)
+        if gen.presence_penalty != 0.0:
+            logp = sampling.apply_presence_penalty(
+                logp, flat_tokens, s.pos, gen.presence_penalty)
+        if gen.min_new_tokens > 0:
+            logp = sampling.apply_min_new_tokens(
+                logp, nxt_pos - begin_index, gen.min_new_tokens,
+                cfg.eos_token_id)
+        if bad_tbl is not None:
+            logp = sampling.ban_bad_words(logp, flat_tokens, s.pos, bad_tbl)
         logp = logp + suppress_mask[None]
         logp = jnp.where(
             nxt_pos == begin_index, logp + begin_suppress_mask[None], logp
         )
+        if timestamps:
+            # HF applies the timestamp processor to the log-softmaxed scores
+            # too; its internal logprob-mass rule re-log-softmaxes, which is
+            # idempotent on already-normalized scores
+            logp = lp.apply_timestamp_rules(
+                logp, flat_tokens, s.pos, begin_index,
+                cfg.no_timestamps_token_id + 1, cfg.eos_token_id,
+                cfg.max_initial_timestamp_index,
+            )
         logp = logp.reshape(batch, k, vocab)
 
         # forced positions: the forced token gets logp 0, everything else -inf
@@ -237,17 +266,21 @@ def _beam_decode_impl(
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled_beam(cfg: WhisperConfig, max_len: int, k: int,
-                   length_penalty: float, kv_cache_dtype: str = "auto"):
+def _compiled_beam(cfg: WhisperConfig, max_len: int,
+                   gen: GenerationConfig = GenerationConfig()):
     suppress_mask = lp.build_suppress_mask(cfg)
     begin_mask = lp.build_begin_suppress_mask(cfg)
-    forced_map, begin_index = lp.build_forced_map(cfg, max_len)
+    if gen.return_timestamps and cfg.no_timestamps_token_id is None:
+        raise ValueError("timestamp decoding needs cfg.no_timestamps_token_id")
+    forced_map, begin_index = lp.build_forced_map(
+        cfg, max_len, timestamps=gen.return_timestamps)
 
     def fn(params, enc_states):
         return _beam_decode_impl(
-            params, cfg, enc_states, max_len, k, length_penalty,
+            params, cfg, enc_states, max_len, gen.num_beams,
+            gen.length_penalty,
             jnp.asarray(suppress_mask), jnp.asarray(begin_mask),
-            jnp.asarray(forced_map), begin_index, kv_cache_dtype,
+            jnp.asarray(forced_map), begin_index, gen,
         )
 
     return jax.jit(fn)
@@ -268,8 +301,12 @@ def beam_decode(
             "early_stopping=True); continued search over alive beams is not "
             "wired, and silently returning early-stopped results would "
             "misrepresent the config")
+    if gen.stop_words:
+        raise NotImplementedError(
+            "stop_words with beam search is not wired: retiring a beam on a "
+            "stop sequence needs its own finished-pool semantics (scoring a "
+            "hypothesis that ends mid-word); the reference's stop-criteria "
+            "kernel is likewise exercised only by the sampling paths. Use "
+            "stop_words with greedy/sampled decoding.")
     max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)
-    return _compiled_beam(
-        cfg, max_len, gen.num_beams, gen.length_penalty,
-        gen.kv_cache_dtype,
-    )(params, enc_states)
+    return _compiled_beam(cfg, max_len, gen)(params, enc_states)

@@ -45,6 +45,7 @@ class GreedyState(NamedTuple):
     tokens: jnp.ndarray    # (B, max_len) i32
     pos: jnp.ndarray       # scalar i32 — index of the last filled position
     finished: jnp.ndarray  # (B,) bool
+    lengths: jnp.ndarray   # (B,) i32 — filled length, recorded at finish
     self_kv: tuple         # float (k, v) or int8 (kq, ks, vq, vs) caches
     key: jnp.ndarray       # PRNG key (sampling; unused under pure greedy)
 
@@ -60,12 +61,27 @@ def _greedy_decode_impl(
     begin_index: int,
     timestamps: bool = False,
     gen: Optional[GenerationConfig] = None,
+    prompt: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """enc_states (B, 1500, d) → (tokens (B, max_len), lengths (B,))."""
+    """enc_states (B, 1500, d) → (tokens (B, max_len), lengths (B,)).
+
+    One loop serves the plain and the prompted (decoder_input_ids /
+    conditioned long-form) paths: ``prompt`` (B, P) teacher-forces the first
+    P positions, so every processor — sampling knobs, timestamp rules,
+    quantized KV, word rules — behaves identically whichever way a chunk is
+    seeded (the reference's DynamicDecodeLayer applies its full stack on
+    every path, cpp/tensorrt_llm/layers/dynamicDecodeLayer.h:37-128).
+    """
     batch = enc_states.shape[0]
     cache_dtype = enc_states.dtype
     gen = gen or GenerationConfig()
     kv_qdtype = kv_quant_dtype(gen.kv_cache_dtype)
+    prompt_len = 1 if prompt is None else prompt.shape[1]
+    # word tables are numpy at trace time (static tuples of python ints)
+    bad_tbl = (tuple(map(jnp.asarray, sampling.pad_word_list(gen.bad_words)))
+               if gen.bad_words else None)
+    stop_tbl = (tuple(map(jnp.asarray, sampling.pad_word_list(gen.stop_words)))
+                if gen.stop_words else None)
 
     cross_k, cross_v = wmodel.compute_cross_kv(params, cfg, enc_states)
     if kv_qdtype is not None:
@@ -76,12 +92,16 @@ def _greedy_decode_impl(
         self_kv = wmodel.init_self_kv(cfg, batch, max_len, dtype=cache_dtype)
 
     tokens0 = jnp.full((batch, max_len), cfg.pad_token_id, jnp.int32)
-    tokens0 = tokens0.at[:, 0].set(cfg.decoder_start_token_id)
+    if prompt is None:
+        tokens0 = tokens0.at[:, 0].set(cfg.decoder_start_token_id)
+    else:
+        tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt, (0, 0))
 
     state = GreedyState(
         tokens=tokens0,
         pos=jnp.int32(0),
         finished=jnp.zeros((batch,), bool),
+        lengths=jnp.full((batch,), max_len, jnp.int32),
         self_kv=self_kv,
         key=jax.random.PRNGKey(gen.seed),
     )
@@ -95,6 +115,17 @@ def _greedy_decode_impl(
             params, cfg, cur, s.pos, s.self_kv, cross_kv
         )
         nxt_pos = s.pos + 1
+        # penalty / word-rule processors (reference order: penalties before
+        # sampling, dynamicDecodeLayer.cpp forward)
+        if gen.presence_penalty != 0.0:
+            logits = sampling.apply_presence_penalty(
+                logits, s.tokens, s.pos, gen.presence_penalty)
+        if gen.min_new_tokens > 0:
+            logits = sampling.apply_min_new_tokens(
+                logits, nxt_pos - begin_index, gen.min_new_tokens,
+                cfg.eos_token_id)
+        if bad_tbl is not None:
+            logits = sampling.ban_bad_words(logits, s.tokens, s.pos, bad_tbl)
         logits = logits + suppress_mask[None]
         logits = jnp.where(nxt_pos == begin_index, logits + begin_suppress_mask[None], logits)
         if timestamps:
@@ -112,19 +143,32 @@ def _greedy_decode_impl(
         )
         forced = forced_map[nxt_pos]
         nxt = jnp.where(forced >= 0, forced, nxt)
+        if prompt_len > 1:
+            # inside the prompt window the next token is the prompt token
+            in_prompt = nxt_pos < prompt_len
+            prompt_tok = jax.lax.dynamic_index_in_dim(
+                prompt, jnp.minimum(nxt_pos, prompt_len - 1), axis=1,
+                keepdims=False)
+            nxt = jnp.where(in_prompt, prompt_tok, nxt)
+        else:
+            in_prompt = jnp.bool_(False)
         nxt = jnp.where(s.finished, jnp.int32(cfg.pad_token_id), nxt)
-        finished = jnp.logical_or(s.finished, nxt == cfg.eos_token_id)
+        newly = jnp.logical_and(
+            ~s.finished,
+            jnp.logical_and(~in_prompt, nxt == cfg.eos_token_id))
         tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, nxt_pos))
-        return GreedyState(tokens, nxt_pos, finished, new_self_kv, carry_key)
+        if stop_tbl is not None:
+            stopped = jnp.logical_and(
+                sampling.match_stop_words(tokens, nxt_pos, stop_tbl),
+                nxt_pos >= begin_index)
+            newly = jnp.logical_or(newly, jnp.logical_and(~s.finished, stopped))
+        finished = jnp.logical_or(s.finished, newly)
+        lengths = jnp.where(newly, nxt_pos + 1, s.lengths)
+        return GreedyState(tokens, nxt_pos, finished, lengths,
+                           new_self_kv, carry_key)
 
     final = jax.lax.while_loop(cond, body, state)
-
-    # length = index of first EOS + 1 (incl.), else max_len
-    is_eos = final.tokens == cfg.eos_token_id
-    any_eos = jnp.any(is_eos, axis=1)
-    first_eos = jnp.argmax(is_eos, axis=1)
-    lengths = jnp.where(any_eos, first_eos + 1, max_len).astype(jnp.int32)
-    return final.tokens, lengths
+    return final.tokens, final.lengths
 
 
 @functools.lru_cache(maxsize=16)
@@ -226,64 +270,27 @@ def detect_language(
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled_greedy_prompted(cfg: WhisperConfig, max_len: int, prompt_len: int):
+def _compiled_greedy_prompted(
+    cfg: WhisperConfig,
+    max_len: int,
+    prompt_len: int,
+    gen: Optional[GenerationConfig] = None,
+):
     suppress_mask = lp.build_suppress_mask(cfg)
     begin_mask = lp.build_begin_suppress_mask(cfg)
+    # the prompt carries the forced prefix itself; nothing is forced by map
+    forced_map = np.full((max_len,), -1, np.int32)
+    gen = gen or GenerationConfig()
+    if gen.return_timestamps and cfg.no_timestamps_token_id is None:
+        raise ValueError("timestamp decoding needs cfg.no_timestamps_token_id")
 
     def fn(params, enc_states, prompt):
-        batch = enc_states.shape[0]
-        cross_k, cross_v = wmodel.compute_cross_kv(params, cfg, enc_states)
-        cross_kv = (cross_k, cross_v)
-        self_kv = wmodel.init_self_kv(cfg, batch, max_len,
-                                      dtype=enc_states.dtype)
-        tokens0 = jnp.full((batch, max_len), cfg.pad_token_id, jnp.int32)
-        tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt, (0, 0))
-        state = GreedyState(
-            tokens=tokens0, pos=jnp.int32(0),
-            finished=jnp.zeros((batch,), bool), self_kv=self_kv,
-            key=jax.random.PRNGKey(0),
+        return _greedy_decode_impl(
+            params, cfg, enc_states, max_len,
+            jnp.asarray(suppress_mask), jnp.asarray(begin_mask),
+            jnp.asarray(forced_map), prompt_len,
+            gen.return_timestamps, gen, prompt,
         )
-        sup = jnp.asarray(suppress_mask)
-        beg = jnp.asarray(begin_mask)
-        begin_index = prompt_len  # first free position
-
-        def cond(s):
-            return jnp.logical_and(s.pos < max_len - 1, ~jnp.all(s.finished))
-
-        def body(s):
-            cur = jax.lax.dynamic_index_in_dim(s.tokens, s.pos, 1, keepdims=False)
-            logits, new_self_kv = wmodel.decode_step_kv(
-                params, cfg, cur, s.pos, s.self_kv, cross_kv
-            )
-            nxt_pos = s.pos + 1
-            logits = logits + sup[None]
-            logits = jnp.where(nxt_pos == begin_index,
-                               logits + beg[None], logits)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            # inside the prompt window, the next token is the prompt token
-            in_prompt = nxt_pos < prompt_len
-            prompt_tok = jnp.take_along_axis(
-                prompt, jnp.minimum(nxt_pos, prompt_len - 1)[None, None]
-                .repeat(prompt.shape[0], 0), axis=1
-            )[:, 0]
-            nxt = jnp.where(in_prompt, prompt_tok, nxt)
-            nxt = jnp.where(s.finished, jnp.int32(cfg.pad_token_id), nxt)
-            finished = jnp.logical_or(
-                s.finished, jnp.logical_and(~in_prompt, nxt == cfg.eos_token_id)
-            )
-            tokens = jax.lax.dynamic_update_slice(
-                s.tokens, nxt[:, None], (0, nxt_pos))
-            return GreedyState(tokens, nxt_pos, finished, new_self_kv, s.key)
-
-        final = jax.lax.while_loop(cond, body, state)
-        is_eos = final.tokens == cfg.eos_token_id
-        # ignore any EOS inside the prompt window
-        col = jnp.arange(max_len)[None]
-        is_eos = jnp.logical_and(is_eos, col >= prompt_len)
-        any_eos = jnp.any(is_eos, axis=1)
-        first_eos = jnp.argmax(is_eos, axis=1)
-        lengths = jnp.where(any_eos, first_eos + 1, max_len).astype(jnp.int32)
-        return final.tokens, lengths
 
     return jax.jit(fn)
 
@@ -295,32 +302,24 @@ def greedy_decode_prompted(
     prompt: jnp.ndarray,
     gen: Optional[GenerationConfig] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy decode seeded with a full decoder prompt (B, P) — e.g.
+    """Greedy/sampled decode seeded with a full decoder prompt (B, P) — e.g.
     [<|startofprev|>, ...prev text..., <|startoftranscript|>, lang, task]
     for conditioned long-form, or HF's decoder_input_ids. The prompt is
-    teacher-forced through the same cached loop (prompt prefill).
-
-    Supports max_new_tokens only — sampling/timestamp/int8-KV knobs are not
-    wired into the prompted loop, and silently ignoring them would make a
-    conditioned long-form pass behave differently from its first chunk."""
+    teacher-forced through the same unified loop as ``greedy_decode``, so
+    the full GenerationConfig — sampling, timestamps, quantized KV, word
+    rules — applies identically to prompted chunks (``begin_index`` is the
+    first post-prompt position). ``num_beams > 1`` stays unsupported here:
+    prompted beam search needs a per-beam prompt prefill phase; use
+    ``beam.beam_decode`` on unprompted chunks."""
     gen = gen or GenerationConfig()
-    unsupported = []
-    if gen.temperature != 1.0 or gen.top_k or (0.0 < gen.top_p < 1.0) \
-            or gen.repetition_penalty != 1.0:
-        unsupported.append("sampling")
-    if gen.return_timestamps:
-        unsupported.append("return_timestamps")
-    if gen.kv_cache_dtype != "auto":
-        unsupported.append(f"kv_cache_dtype={gen.kv_cache_dtype!r}")
     if gen.num_beams > 1:
-        unsupported.append("num_beams>1")
-    if unsupported:
         raise NotImplementedError(
-            "greedy_decode_prompted supports greedy float-cache decoding "
-            f"only; unsupported in GenerationConfig: {', '.join(unsupported)}")
+            "greedy_decode_prompted is a single-beam loop; beam search over "
+            "a prompted decoder is not wired (beam.beam_decode covers the "
+            "unprompted path)")
     prompt = jnp.asarray(prompt, jnp.int32)
     prompt_len = prompt.shape[1]
     max_len = min(cfg.max_target_positions, gen.max_new_tokens + prompt_len)
-    return _compiled_greedy_prompted(cfg, max_len, prompt_len)(
+    return _compiled_greedy_prompted(cfg, max_len, prompt_len, gen)(
         params, enc_states, prompt
     )
