@@ -313,3 +313,93 @@ def test_prompted_with_timestamps(rng):
         GenerationConfig(max_new_tokens=10, return_timestamps=True))
     np.testing.assert_array_equal(np.asarray(tok), np.asarray(base_tokens))
     np.testing.assert_array_equal(np.asarray(lng), np.asarray(base_lengths))
+
+
+def test_prompted_beam_matches_hf(hf_pair, enc_states):
+    """beam_decode_prompted == HF generate(decoder_input_ids, num_beams=2)."""
+    import torch
+
+    from whisper_trtllm_tpu.runtime.beam import beam_decode_prompted
+
+    hf, params, cfg = hf_pair
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    prompt = np.asarray([[cfg.decoder_start_token_id, 11, 13],
+                         [cfg.decoder_start_token_id, 11, 17]], np.int32)
+    with torch.no_grad():
+        theirs = hf.generate(
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            decoder_input_ids=torch.from_numpy(prompt.astype(np.int64)),
+            max_new_tokens=10, do_sample=False, num_beams=2,
+        ).numpy()
+    tokens, scores, lengths = beam_decode_prompted(
+        params, cfg, enc_states, prompt,
+        GenerationConfig(max_new_tokens=10, num_beams=2))
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+    p = prompt.shape[1]
+    for b in range(2):
+        t = theirs[b]
+        if (t == cfg.eos_token_id).any():
+            t = t[: np.argmax(t == cfg.eos_token_id) + 1]
+        best = tokens[b, 0, p : lengths[b, 0]]
+        n = min(len(t), len(best))
+        assert n >= 5
+        np.testing.assert_array_equal(best[:n], t[:n])
+        # prompt preserved verbatim on the best hypothesis
+        np.testing.assert_array_equal(tokens[b, 0, :p], prompt[b])
+
+
+def test_prompted_beam_trivial_prompt_equals_plain(hf_pair, enc_states):
+    """A [start, forced] prompt must reproduce plain beam search exactly.
+    length_penalty=0.0 (no penalty) makes the two paths' denominators both
+    collapse to 1 — with a nonzero penalty they legitimately differ: the
+    prompted path excludes the prompt from the penalized length (HF's
+    cur_len + 1 - decoder_prompt_len) while the plain path counts
+    processor-forced tokens as generated, exactly as HF does."""
+    from whisper_trtllm_tpu.runtime.beam import (
+        beam_decode,
+        beam_decode_prompted,
+    )
+
+    _, params, cfg = hf_pair
+    gen = GenerationConfig(max_new_tokens=10, num_beams=3,
+                           length_penalty=0.0)
+    rt, rs, rl = beam_decode(params, cfg, enc_states, gen)
+    prompt = np.asarray(
+        [[cfg.decoder_start_token_id, 11]] * enc_states.shape[0], np.int32)
+    import dataclasses
+    gen_p = dataclasses.replace(gen, max_new_tokens=gen.max_new_tokens - 1)
+    pt, ps, pl = beam_decode_prompted(params, cfg, enc_states, prompt, gen_p)
+    np.testing.assert_array_equal(np.asarray(pt), np.asarray(rt))
+    np.testing.assert_array_equal(np.asarray(pl), np.asarray(rl))
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(rs),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_longform_conditioned_with_beams(rng):
+    """Conditioned long-form runs through the beam path end-to-end."""
+    from whisper_trtllm_tpu.config import RuntimeConfig, WhisperConfig
+    from whisper_trtllm_tpu.models.whisper import init_params
+    from whisper_trtllm_tpu.runtime.longform import transcribe_long_conditioned
+    from whisper_trtllm_tpu.runtime.session import WhisperSession
+
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=0)
+    sess = WhisperSession(params, cfg,
+                          GenerationConfig(max_new_tokens=8, num_beams=2),
+                          RuntimeConfig())
+    audio = rng.standard_normal((3 * 16000 * 30 // 30,)).astype(np.float32)
+    # 1 "chunk" worth at the toy frontend scale is irrelevant — drive the
+    # feature-level path directly with 3 synthetic chunks
+    from whisper_trtllm_tpu.runtime import longform
+
+    mels = rng.standard_normal(
+        (3, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    outs, n = longform._conditioned_over_features(
+        sess, mels, prev_sot_token_id=90, prev_context_tokens=3)
+    assert n == 3 and len(outs) == 3
+    for ids in outs:
+        assert ids.ndim == 1

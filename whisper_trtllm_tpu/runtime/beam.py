@@ -13,7 +13,7 @@ with length penalty, beam-parent KV-cache reorder via take_along_axis
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,12 +68,17 @@ def _beam_decode_impl(
     forced_map: jnp.ndarray,
     begin_index: int,
     gen: GenerationConfig = GenerationConfig(),
+    prompt: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     batch = enc_states.shape[0]
     dtype = enc_states.dtype
     vocab = cfg.vocab_size
     kv_cache_dtype = gen.kv_cache_dtype
     timestamps = gen.return_timestamps
+    # teacher-forced decoder prompt (B, P): positions < prompt_len are
+    # forced per batch row across all beams (HF decoder_input_ids + beams);
+    # begin_index must equal prompt_len in that case (caller's contract)
+    prompt_len = 1 if prompt is None else prompt.shape[1]
     # word tables are numpy at trace time (static tuples of python ints)
     bad_tbl = (tuple(map(jnp.asarray, sampling.pad_word_list(gen.bad_words)))
                if gen.bad_words else None)
@@ -96,7 +101,11 @@ def _beam_decode_impl(
         self_kv = wmodel.init_self_kv(cfg, batch * k, max_len, dtype=dtype)
 
     alive_tokens = jnp.full((batch, k, max_len), cfg.pad_token_id, jnp.int32)
-    alive_tokens = alive_tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
+    if prompt is None:
+        alive_tokens = alive_tokens.at[:, :, 0].set(cfg.decoder_start_token_id)
+    else:
+        alive_tokens = jax.lax.dynamic_update_slice(
+            alive_tokens, jnp.tile(prompt[:, None, :], (1, k, 1)), (0, 0, 0))
     # only beam 0 is live initially (all beams identical otherwise)
     alive_scores = jnp.tile(
         jnp.where(jnp.arange(k) == 0, 0.0, NEG_INF)[None], (batch, 1)
@@ -170,6 +179,16 @@ def _beam_decode_impl(
             jnp.arange(vocab)[None, None, :] == forced, 0.0, NEG_INF
         )
         logp = jnp.where(forced >= 0, forced_row, logp)
+        if prompt_len > 1:
+            # inside the prompt window every beam is forced to the per-row
+            # prompt token at zero cost (teacher-forced prompt prefill)
+            ptok = jax.lax.dynamic_index_in_dim(
+                prompt, jnp.minimum(nxt_pos, prompt_len - 1), axis=1,
+                keepdims=False)                                   # (B,)
+            prow = jnp.where(
+                jnp.arange(vocab)[None, None, :] == ptok[:, None, None],
+                0.0, NEG_INF)
+            logp = jnp.where(nxt_pos < prompt_len, prow, logp)
 
         cand = s.alive_scores[:, :, None] + logp              # (B, K, V)
         flat = cand.reshape(batch, k * vocab)
@@ -190,6 +209,9 @@ def _beam_decode_impl(
         in_top_k = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * k), 1) < k
         is_eos_tok = tok_ids == cfg.eos_token_id
         is_eos = is_eos_tok & in_top_k & (topv > NEG_INF / 2)
+        if prompt_len > 1:  # a prompt token that happens to equal EOS
+            is_eos = is_eos & (nxt_pos >= prompt_len)
+            is_eos_tok = is_eos_tok & (nxt_pos >= prompt_len)
 
         # ---- alive set: best K non-EOS candidates ----
         # EOS candidates never continue decoding, regardless of rank: an EOS
@@ -205,9 +227,14 @@ def _beam_decode_impl(
         # ---- finished pool: merge EOS candidates (length-penalized) ----
         fin_len = nxt_pos + 1
         # HF penalizes by the hypothesis length *excluding* the EOS token
-        # (BeamHypotheses.add uses the pre-EOS prefix length)
+        # (BeamHypotheses.add uses the pre-EOS prefix length); a decoder
+        # prompt does not count toward the penalty (HF's
+        # cur_len + 1 - decoder_prompt_len denominator)
         fin_cand_scores = jnp.where(
-            is_eos, topv / _length_penalty(nxt_pos, length_penalty), NEG_INF
+            is_eos,
+            topv / _length_penalty(nxt_pos - (prompt_len - 1),
+                                   length_penalty),
+            NEG_INF,
         )
         # lanes already done stop accepting (HF early_stopping semantics)
         fin_cand_scores = jnp.where(
@@ -246,7 +273,7 @@ def _beam_decode_impl(
     # pool can never fill) — hence alive_len - 1, not alive_len.
     alive_len = final.pos + 1
     alive_final_scores = final.alive_scores / _length_penalty(
-        alive_len - 1, length_penalty
+        alive_len - prompt_len, length_penalty
     )
     alive_final_scores = jnp.where(
         batch_done(final)[:, None], NEG_INF, alive_final_scores
@@ -310,3 +337,52 @@ def beam_decode(
             "stop_words with greedy/sampled decoding.")
     max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)
     return _compiled_beam(cfg, max_len, gen)(params, enc_states)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_beam_prompted(cfg: WhisperConfig, max_len: int, prompt_len: int,
+                            gen: GenerationConfig = GenerationConfig()):
+    suppress_mask = lp.build_suppress_mask(cfg)
+    begin_mask = lp.build_begin_suppress_mask(cfg)
+    if gen.return_timestamps and cfg.no_timestamps_token_id is None:
+        raise ValueError("timestamp decoding needs cfg.no_timestamps_token_id")
+    # the prompt carries the forced prefix itself
+    forced_map = np.full((max_len,), -1, np.int32)
+
+    def fn(params, enc_states, prompt):
+        return _beam_decode_impl(
+            params, cfg, enc_states, max_len, gen.num_beams,
+            gen.length_penalty,
+            jnp.asarray(suppress_mask), jnp.asarray(begin_mask),
+            jnp.asarray(forced_map), prompt_len, gen, prompt,
+        )
+
+    return jax.jit(fn)
+
+
+def beam_decode_prompted(
+    params: dict,
+    cfg: WhisperConfig,
+    enc_states: jnp.ndarray,
+    prompt: jnp.ndarray,
+    gen: GenerationConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Beam search seeded with a full decoder prompt (B, P) — HF
+    ``generate(decoder_input_ids=..., num_beams=K)`` semantics: the prompt
+    is teacher-forced across every beam at zero score cost, the length
+    penalty counts generated tokens only, and EOS retirement starts after
+    the prompt. Completes the conditioned long-form feature matrix for
+    beams (same loop, same processors). Returns (tokens (B, K, max_len)
+    best-first, scores (B, K), lengths (B, K))."""
+    if not gen.early_stopping:
+        raise NotImplementedError(
+            "beam search implements early_stopping=True semantics only")
+    if gen.stop_words:
+        raise NotImplementedError(
+            "stop_words with beam search is not wired (see beam_decode)")
+    prompt = jnp.asarray(prompt, jnp.int32)
+    prompt_len = prompt.shape[1]
+    max_len = min(cfg.max_target_positions,
+                  gen.max_new_tokens + prompt_len)
+    return _compiled_beam_prompted(cfg, max_len, prompt_len, gen)(
+        params, enc_states, prompt)

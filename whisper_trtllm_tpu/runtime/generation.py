@@ -314,9 +314,8 @@ def greedy_decode_prompted(
     gen = gen or GenerationConfig()
     if gen.num_beams > 1:
         raise NotImplementedError(
-            "greedy_decode_prompted is a single-beam loop; beam search over "
-            "a prompted decoder is not wired (beam.beam_decode covers the "
-            "unprompted path)")
+            "greedy_decode_prompted is the single-beam loop; use "
+            "beam.beam_decode_prompted for prompted beam search")
     prompt = jnp.asarray(prompt, jnp.int32)
     prompt_len = prompt.shape[1]
     max_len = min(cfg.max_target_positions, gen.max_new_tokens + prompt_len)

@@ -106,6 +106,12 @@ def _conditioned_over_features(session, mels, prev_sot_token_id,
     specials = {cfg.eos_token_id, cfg.pad_token_id,
                 cfg.decoder_start_token_id, prev_sot_token_id,
                 *[t for _, t in cfg.forced_decoder_ids]}
+    beams = gen.num_beams > 1
+    if beams:
+        from whisper_trtllm_tpu.runtime.beam import (
+            beam_decode,
+            beam_decode_prompted,
+        )
     outs = []
     prev_text: List[int] = []
     for i in range(len(mels)):
@@ -114,12 +120,23 @@ def _conditioned_over_features(session, mels, prev_sot_token_id,
             ctx = prev_text[-prev_context_tokens:]
             prompt = np.asarray([[prev_sot_token_id, *ctx, *forced]], np.int32)
             enc = _wmodel.encode(session.params, cfg, mel)
-            tokens, lengths = greedy_decode_prompted(
-                session.params, cfg, enc, prompt, gen
-            )
+            if beams:
+                t, _, ln = beam_decode_prompted(
+                    session.params, cfg, enc, prompt, gen)
+                tokens, lengths = t[:, 0], ln[:, 0]
+            else:
+                tokens, lengths = greedy_decode_prompted(
+                    session.params, cfg, enc, prompt, gen
+                )
             start = prompt.shape[1]
         else:
-            tokens, lengths = transcribe_tokens(session.params, cfg, mel, gen)
+            if beams:
+                enc = _wmodel.encode(session.params, cfg, mel)
+                t, _, ln = beam_decode(session.params, cfg, enc, gen)
+                tokens, lengths = t[:, 0], ln[:, 0]
+            else:
+                tokens, lengths = transcribe_tokens(
+                    session.params, cfg, mel, gen)
             start = 1
         toks = np.asarray(tokens)[0, : int(np.asarray(lengths)[0])]
         text_ids = np.asarray(
