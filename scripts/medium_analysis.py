@@ -116,10 +116,12 @@ def main():
     import jax
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="medium.en")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--gen", type=int, default=48)
     ap.add_argument("--variant", default="all",
                     choices=["all", "base", "qvocab", "fuseqkv", "bf16",
+                             "bf16_int8kv", "bf16_int8kv_qvocab",
                              "qvocab_fuseqkv"])
     args = ap.parse_args()
 
@@ -128,7 +130,8 @@ def main():
 
     from whisper_trtllm_tpu.config import WhisperConfig
 
-    cfg = dataclasses.replace(WhisperConfig.medium_en(), eos_token_id=-1)
+    cfg = dataclasses.replace(WhisperConfig.preset(args.preset),
+                              eos_token_id=-1)
 
     variants = {
         "base": dict(),
@@ -136,6 +139,9 @@ def main():
         "fuseqkv": dict(fuse_qkv=True),
         "qvocab_fuseqkv": dict(quantize_vocab=True, fuse_qkv=True),
         "bf16": dict(weight_int8=False, kv_int8=False),
+        "bf16_int8kv": dict(weight_int8=False, kv_int8=True),
+        "bf16_int8kv_qvocab": dict(weight_int8=False, kv_int8=True,
+                                   quantize_vocab=True),
     }
     names = list(variants) if args.variant == "all" else [args.variant]
     for name in names:
