@@ -7,7 +7,12 @@ LIBRISPEECH download or an HF datasets audio dataset.
 
 Usage:
   python -m cli.get_librispeech --output librispeech.cache \
-      [--source torchaudio|hf] [--split test-clean] [--limit N]
+      [--source torchaudio|hf|dir] [--split test-clean] [--limit N]
+
+``--source dir --root <path>``: an already-downloaded LibriSpeech tree (or
+any directory) of 16 kHz PCM16 ``.wav`` files with LibriSpeech-style
+``*.trans.txt`` transcript files or sibling ``.txt`` files — the
+network-free route, validated offline in tests/test_cli_dataset.py.
 """
 
 from __future__ import annotations
@@ -18,10 +23,42 @@ import pickle
 import numpy as np
 
 
+def _iter_dir(root):
+    """Yield (audio float32 16 kHz, transcript) from a local tree of PCM16
+    wavs. Transcripts: LibriSpeech `<spk>-<chap>.trans.txt` lines
+    ("<utt-id> TEXT") take precedence; else a sibling `<utt>.txt`."""
+    import pathlib
+    import wave
+
+    root = pathlib.Path(root)
+    trans = {}
+    for t in root.rglob("*.trans.txt"):
+        for line in t.read_text().splitlines():
+            if " " in line:
+                utt, text = line.split(" ", 1)
+                trans[utt] = text.strip()
+    wavs = sorted(root.rglob("*.wav"))
+    if not wavs:
+        raise FileNotFoundError(f"no .wav files under {root}")
+    for w in wavs:
+        with wave.open(str(w), "rb") as f:
+            if f.getsampwidth() != 2 or f.getframerate() != 16000:
+                raise ValueError(f"{w}: need 16 kHz PCM16")
+            pcm = np.frombuffer(f.readframes(f.getnframes()), np.int16)
+            if f.getnchannels() > 1:
+                pcm = pcm.reshape(-1, f.getnchannels()).mean(axis=1)
+        text = trans.get(w.stem)
+        if text is None:
+            sib = w.with_suffix(".txt")
+            text = sib.read_text().strip() if sib.exists() else ""
+        yield pcm.astype(np.float32) / 32768.0, text
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--output", required=True)
-    ap.add_argument("--source", default="torchaudio", choices=["torchaudio", "hf"])
+    ap.add_argument("--source", default="torchaudio",
+                    choices=["torchaudio", "hf", "dir"])
     ap.add_argument("--split", default="test-clean")
     ap.add_argument("--root", default="./data")
     ap.add_argument("--limit", type=int, default=0)
@@ -31,7 +68,9 @@ def main():
     from whisper_trtllm_tpu.audio import log_mel_spectrogram, pad_or_trim
 
     items = []
-    if args.source == "torchaudio":
+    if args.source == "dir":
+        it = _iter_dir(args.root)
+    elif args.source == "torchaudio":
         import torchaudio
 
         ds = torchaudio.datasets.LIBRISPEECH(

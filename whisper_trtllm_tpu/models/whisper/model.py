@@ -83,9 +83,12 @@ def _vocab_logits(dec: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _scan_unroll() -> int:
-    """Layer-scan unroll factor for the decode step (trace-time). Unrolling
-    lets XLA overlap one layer's weight DMA with the previous layer's
-    compute at one-token-per-step sizes; tune via WHISPER_TPU_SCAN_UNROLL."""
+    """Layer-scan unroll factor for the decode step (trace-time), tunable
+    via WHISPER_TPU_SCAN_UNROLL. Measured STRONGLY NEGATIVE on v5e at both
+    tiny and medium dims (medium int8 b16: 7.9 ms/step at unroll 1 vs 94 at
+    2, 60 at 4 — the unrolled body loses the scanned KV tensors' aliasing
+    and materializes per-group cache copies); keep 1 unless re-measured on
+    new toolchains. docs/PERFORMANCE.md round-2 medium section."""
     import os
 
     return int(os.environ.get("WHISPER_TPU_SCAN_UNROLL", "1"))
