@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--gen", type=int, default=32)
     ap.add_argument("--utts", type=int, default=32)
+    ap.add_argument("--quant-variant", action="store_true",
+                    help="also measure the serving-quantized variant "
+                    "(bf16 + int8 KV + int8 vocab table) vs fp32")
     args = ap.parse_args()
 
     import jax
@@ -104,6 +107,27 @@ def main():
             tot[name][0] += frac * n
             tot[name][1] += same
             tot[name][2] += n
+
+    if args.quant_variant:
+        from whisper_trtllm_tpu.quantization import quantize_vocab_embedding
+
+        params_q = init_params(cfg, seed=0)
+        params_q = quantize_vocab_embedding(params_q)
+        params_q = jax.device_put(cast_params(params_q, jnp.bfloat16))
+        rng_q = np.random.default_rng(0)
+        tot["serveq"] = [0, 0, 0]
+        for bi in range(n_batches):
+            mel = rng_q.standard_normal(
+                (args.batch, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+            ).astype(np.float32) * 0.5
+            e32 = enc32(params32, jnp.asarray(mel))
+            eq = enc32(params_q, jnp.asarray(mel, jnp.bfloat16))
+            t32, len32 = greedy_decode(params32, cfg, e32, gen32)
+            tq, lnq = greedy_decode(params_q, cfg, eq, gen_i8)
+            frac, same, n = agree(t32, len32, tq, lnq)
+            tot["serveq"][0] += frac * n
+            tot["serveq"][1] += same
+            tot["serveq"][2] += n
 
     for name, (fsum, same, n) in tot.items():
         report[f"greedy_token_agreement_{name}_vs_fp32"] = round(fsum / n, 4)

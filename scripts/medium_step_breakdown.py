@@ -6,7 +6,10 @@ vocab head, at exactly the decode-step shapes — isolating where the
 7.9 ms/step (int8 W+KV, b16) actually goes, since b32 scaling showed the
 gap is batch-proportional, not fixed dispatch overhead.
 
-  python scripts/medium_step_breakdown.py [--batch 16] [--int8kv] [--int8w]
+All big arrays are jit ARGUMENTS (closure-captured constants get embedded
+into the HLO and overflow the remote-compile tunnel's request limit).
+
+  python scripts/medium_step_breakdown.py [--batch 16] [--float-kv]
 """
 
 from __future__ import annotations
@@ -44,8 +47,7 @@ def main():
         return jax.device_put(jnp.asarray(
             rng.standard_normal(shape) * scale, jnp.bfloat16))
 
-    # stacked per-layer weights / caches
-    w_dd = bf16(L, 6, D, D)           # qkvo + (placeholder) 2 of the mlp dims
+    w_dd = bf16(L, 4, D, D)
     w_up = bf16(L, D, FFN)
     w_dn = bf16(L, FFN, D)
     vocab = bf16(V, D)
@@ -53,11 +55,8 @@ def main():
     cv = bf16(L, B, H, T, DH, scale=0.3)
     sk = bf16(L, B, H, TS, DH, scale=0.3)
     sv = bf16(L, B, H, TS, DH, scale=0.3)
-    if not args.float_kv:
-        ckq, cks = quantize_kv(ck, jnp.int8)
-        cvq, cvs = quantize_kv(cv, jnp.int8)
-
     x0 = bf16(B, D)
+    q0 = bf16(B, H, 1, DH, scale=0.12)
 
     def timed(name, fn, *xs):
         f = jax.jit(fn)
@@ -70,13 +69,8 @@ def main():
         print(json.dumps({"component": name, "total_ms": round(ms, 2),
                           "us_per_step": round(ms / N * 1e3, 1)}), flush=True)
 
-    def loop(body):
-        def run(x):
-            return jax.lax.fori_loop(0, N, lambda i, x: body(x), x)
-        return run
-
-    # 1. dense matmuls only: 4 (d,d) + up + down per layer
-    def dense_body(x):
+    # 1. dense matmuls only
+    def dense_fn(x, w_dd, w_up, w_dn):
         def layer(x, xs):
             wdd, wu, wd = xs
             for j in range(4):
@@ -87,55 +81,65 @@ def main():
             x = jnp.dot(h, wd, preferred_element_type=jnp.float32
                         ).astype(jnp.bfloat16)
             return x, None
-        x, _ = jax.lax.scan(layer, x, (w_dd[:, :4], w_up, w_dn))
-        return x
-    timed("dense_matmuls", loop(dense_body), x0)
 
-    # 2. cross attention only (quantized or float cache)
-    q0 = bf16(B, H, 1, DH, scale=0.12)
+        def body(x):
+            x, _ = jax.lax.scan(layer, x, (w_dd, w_up, w_dn))
+            return x
 
-    def cross_body(q):
-        if args.float_kv:
+        return jax.lax.fori_loop(0, N, lambda i, x: body(x), x)
+    timed("dense_matmuls", dense_fn, x0, w_dd, w_up, w_dn)
+
+    # 2. cross attention only
+    if args.float_kv:
+        def cross_fn(q, ck, cv):
             def layer(q, xs):
                 k, v = xs
-                a = mha_decode_step(q, k, v, jnp.int32(T))
-                return a, None
-            q, _ = jax.lax.scan(layer, q, (ck, cv))
-        else:
+                return mha_decode_step(q, k, v, jnp.int32(T)), None
+
+            def body(q):
+                q, _ = jax.lax.scan(layer, q, (ck, cv))
+                return q
+
+            return jax.lax.fori_loop(0, N, lambda i, q: body(q), q)
+        timed("cross_attention_bf16", cross_fn, q0, ck, cv)
+    else:
+        ckq, cks = quantize_kv(ck, jnp.int8)
+        cvq, cvs = quantize_kv(cv, jnp.int8)
+
+        def cross_fn(q, ckq, cks, cvq, cvs):
             def layer(q, xs):
                 kq, ks, vq, vs = xs
-                a = mha_decode_step(q, kq, vq, jnp.int32(T),
-                                    k_scale=ks, v_scale=vs)
-                return a, None
-            q, _ = jax.lax.scan(layer, q, (ckq, cks, cvq, cvs))
-        return q
-    timed("cross_attention", loop(cross_body), q0)
+                return mha_decode_step(q, kq, vq, jnp.int32(T),
+                                       k_scale=ks, v_scale=vs), None
 
-    # 3. self attention only (float small cache)
-    def self_body(q):
+            def body(q):
+                q, _ = jax.lax.scan(layer, q, (ckq, cks, cvq, cvs))
+                return q
+
+            return jax.lax.fori_loop(0, N, lambda i, q: body(q), q)
+        timed("cross_attention_int8", cross_fn, q0, ckq, cks, cvq, cvs)
+
+    # 3. self attention only
+    def self_fn(q, sk, sv):
         def layer(q, xs):
             k, v = xs
-            a = mha_decode_step(q, k, v, jnp.int32(20))
-            return a, None
-        q, _ = jax.lax.scan(layer, q, (sk, sv))
-        return q
-    timed("self_attention", loop(self_body), q0)
+            return mha_decode_step(q, k, v, jnp.int32(20)), None
+
+        def body(q):
+            q, _ = jax.lax.scan(layer, q, (sk, sv))
+            return q
+
+        return jax.lax.fori_loop(0, N, lambda i, q: body(q), q)
+    timed("self_attention", self_fn, q0, sk, sv)
 
     # 4. vocab head once per step
-    def vocab_body(x):
-        l = jnp.dot(x, vocab.T, preferred_element_type=jnp.float32)
-        return (x + l[:, :D].astype(jnp.bfloat16) * 0).astype(jnp.bfloat16)
-    timed("vocab_head", loop(vocab_body), x0)
+    def vocab_fn(x, vocab):
+        def body(x):
+            l = jnp.dot(x, vocab.T, preferred_element_type=jnp.float32)
+            return (x + l[:, :D].astype(jnp.bfloat16) * 0).astype(jnp.bfloat16)
 
-    # 5. cache append (dynamic_update_slice) per layer
-    def append_body(x):
-        def layer(carry, k):
-            k = jax.lax.dynamic_update_slice(
-                k, carry[:, :, None, :].astype(k.dtype), (0, 0, 5, 0))
-            return carry, k[0, 0, 0, 0]
-        _, _ = jax.lax.scan(layer, x.reshape(B, H, DH)[:, :, :DH], sk)
-        return x
-    timed("self_kv_append", loop(append_body), x0)
+        return jax.lax.fori_loop(0, N, lambda i, x: body(x), x)
+    timed("vocab_head", vocab_fn, x0, vocab)
 
 
 if __name__ == "__main__":
