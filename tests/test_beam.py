@@ -164,17 +164,141 @@ def test_beam_eos_candidates_never_continue(hf_pair, rng):
             assert (interior != cfg.eos_token_id).all()
 
 
-def test_beam_early_stopping_false_rejected():
-    from whisper_trtllm_tpu.config import WhisperConfig
-    from whisper_trtllm_tpu.models.whisper import init_params
+@pytest.mark.parametrize(
+    "early_stopping,length_penalty",
+    [(False, 1.0), (False, 2.0), ("never", 2.0)],
+)
+def test_beam_early_stopping_modes_match_hf(
+        hf_pair, rng, early_stopping, length_penalty):
+    """Continued-search semantics (HF early_stopping=False / "never"): the
+    lane keeps searching while the best running beam could still beat the
+    worst finished hypothesis; tokens AND sequence scores must match HF
+    exactly (VERDICT r2 order #4)."""
+    import torch
 
-    cfg = WhisperConfig.testing()
-    params = init_params(cfg, seed=0)
-    import jax.numpy as jnp
+    hf, params, cfg = hf_pair
+    mel = rng.standard_normal(
+        (3, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    max_new = cfg.max_target_positions - 2
+    with torch.no_grad():
+        out = hf.generate(
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            max_new_tokens=max_new, num_beams=2, do_sample=False,
+            length_penalty=length_penalty, early_stopping=early_stopping,
+            return_dict_in_generate=True, output_scores=True,
+        )
+    theirs = out.sequences.numpy()
+    hf_scores = out.sequences_scores.numpy()
 
-    with pytest.raises(NotImplementedError, match="early_stopping"):
-        beam_decode(params, cfg, jnp.zeros((1, 8, cfg.d_model)),
-                    GenerationConfig(num_beams=2, early_stopping=False))
+    enc = jax.jit(lambda p, m: encode(p, cfg, m))(params, mel)
+    tokens, scores, lengths = beam_decode(
+        params, cfg, enc,
+        GenerationConfig(max_new_tokens=max_new, num_beams=2,
+                         length_penalty=length_penalty,
+                         early_stopping=early_stopping),
+    )
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+
+    def norm(seq):
+        seq = np.asarray(seq)
+        if len(seq) and seq[0] == cfg.decoder_start_token_id:
+            seq = seq[1:]
+        while len(seq) and seq[-1] in (cfg.pad_token_id, cfg.eos_token_id):
+            seq = seq[:-1]
+        return seq
+
+    for b in range(mel.shape[0]):
+        np.testing.assert_array_equal(
+            norm(tokens[b, 0, : lengths[b, 0]]), norm(theirs[b]))
+    np.testing.assert_allclose(np.asarray(scores)[:, 0], hf_scores,
+                               atol=1e-5, rtol=1e-5)
+
+
+class _TokenTailStop:
+    """Torch-side stopping criterion with the reference's stop_words_list
+    semantics (full token-sequence tail match) so HF's beam machinery can
+    serve as the oracle for ours."""
+
+    def __init__(self, stop_seqs):
+        self.stop = [list(s) for s in stop_seqs]
+
+    def __call__(self, input_ids, scores, **kwargs):
+        import torch
+
+        out = []
+        for row in input_ids.tolist():
+            out.append(any(
+                len(row) >= len(s) and row[-len(s):] == s for s in self.stop))
+        return torch.tensor(out, dtype=torch.bool, device=input_ids.device)
+
+
+@pytest.mark.parametrize("early_stopping", [True, False])
+def test_beam_stop_words_match_hf(hf_pair, rng, early_stopping):
+    """A stop word hitting mid-beam retires the candidate into the finished
+    pool exactly like EOS (per-candidate stopping criteria — HF
+    next_token_hits_stopping_criteria; reference applies stop_words_list
+    regardless of beam width, dynamicDecodeLayer.cpp:317-326)."""
+    import torch
+    from transformers import StoppingCriteria, StoppingCriteriaList
+
+    class TailStop(_TokenTailStop, StoppingCriteria):
+        pass
+
+    hf, params, cfg = hf_pair
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    max_new = cfg.max_target_positions - 2
+    feats = torch.from_numpy(mel.transpose(0, 2, 1))
+
+    # pick a stop bigram from the middle of the unconstrained best beam so
+    # the stop genuinely fires mid-decode
+    with torch.no_grad():
+        free = hf.generate(input_features=feats, max_new_tokens=max_new,
+                           num_beams=2, do_sample=False, length_penalty=1.0,
+                           early_stopping=early_stopping).numpy()
+    stop_word = tuple(int(t) for t in free[0][3:5])
+    assert len(stop_word) == 2
+
+    with torch.no_grad():
+        out = hf.generate(
+            input_features=feats, max_new_tokens=max_new, num_beams=2,
+            do_sample=False, length_penalty=1.0,
+            early_stopping=early_stopping,
+            stopping_criteria=StoppingCriteriaList([TailStop([stop_word])]),
+            return_dict_in_generate=True, output_scores=True,
+        )
+    theirs = out.sequences.numpy()
+    hf_scores = out.sequences_scores.numpy()
+
+    enc = jax.jit(lambda p, m: encode(p, cfg, m))(params, mel)
+    tokens, scores, lengths = beam_decode(
+        params, cfg, enc,
+        GenerationConfig(max_new_tokens=max_new, num_beams=2,
+                         early_stopping=early_stopping,
+                         stop_words=(stop_word,)),
+    )
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+
+    def norm(seq):
+        seq = np.asarray(seq)
+        if len(seq) and seq[0] == cfg.decoder_start_token_id:
+            seq = seq[1:]
+        while len(seq) and seq[-1] in (cfg.pad_token_id, cfg.eos_token_id):
+            seq = seq[:-1]
+        return seq
+
+    for b in range(mel.shape[0]):
+        np.testing.assert_array_equal(
+            norm(tokens[b, 0, : lengths[b, 0]]), norm(theirs[b]))
+    np.testing.assert_allclose(np.asarray(scores)[:, 0], hf_scores,
+                               atol=1e-5, rtol=1e-5)
+    # the stop word really fired mid-beam: the winning hypothesis ends with
+    # it and is shorter than the unconstrained run
+    best = tokens[0, 0, : lengths[0, 0]]
+    assert tuple(best[-2:]) == stop_word
+    assert lengths[0, 0] < len(norm(free[0])) + 2
 
 
 @pytest.mark.parametrize("length_penalty", [1.0, 2.0])

@@ -403,3 +403,73 @@ def test_longform_conditioned_with_beams(rng):
     assert n == 3 and len(outs) == 3
     for ids in outs:
         assert ids.ndim == 1
+
+
+def test_prompted_beam_stop_words_and_es_false_match_hf(hf_pair, enc_states):
+    """Prompted beam with a stop word + early_stopping=False matches HF
+    (decoder_input_ids + custom token-tail stopping criterion) — the
+    prompted half of VERDICT r2 order #4. The stop word is drawn from the
+    unconstrained continuation so it genuinely fires mid-beam."""
+    import torch
+    from transformers import StoppingCriteria, StoppingCriteriaList
+
+    from whisper_trtllm_tpu.runtime.beam import beam_decode_prompted
+
+    class TailStop(StoppingCriteria):
+        def __init__(self, stop_seqs):
+            self.stop = [list(s) for s in stop_seqs]
+
+        def __call__(self, input_ids, scores, **kwargs):
+            out = []
+            for row in input_ids.tolist():
+                out.append(any(
+                    len(row) >= len(s) and row[-len(s):] == s
+                    for s in self.stop))
+            return torch.tensor(out, dtype=torch.bool,
+                                device=input_ids.device)
+
+    hf, params, cfg = hf_pair
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    feats = torch.from_numpy(mel.transpose(0, 2, 1))
+    prompt = np.asarray([[cfg.decoder_start_token_id, 11, 13],
+                         [cfg.decoder_start_token_id, 11, 17]], np.int32)
+    dec_ids = torch.from_numpy(prompt.astype(np.int64))
+    with torch.no_grad():
+        free = hf.generate(
+            input_features=feats, decoder_input_ids=dec_ids,
+            max_new_tokens=10, do_sample=False, num_beams=2,
+            early_stopping=False).numpy()
+    # a generated (non-prompt, non-EOS) bigram from the best continuation
+    gen_region = [t for t in free[0][prompt.shape[1]:]
+                  if t != cfg.eos_token_id]
+    stop_word = tuple(int(t) for t in gen_region[1:3])
+    assert len(stop_word) == 2
+
+    with torch.no_grad():
+        out = hf.generate(
+            input_features=feats, decoder_input_ids=dec_ids,
+            max_new_tokens=10, do_sample=False, num_beams=2,
+            early_stopping=False,
+            stopping_criteria=StoppingCriteriaList([TailStop([stop_word])]),
+            return_dict_in_generate=True, output_scores=True)
+    theirs = out.sequences.numpy()
+    hf_scores = out.sequences_scores.numpy()
+
+    tokens, scores, lengths = beam_decode_prompted(
+        params, cfg, enc_states, prompt,
+        GenerationConfig(max_new_tokens=10, num_beams=2,
+                         early_stopping=False, stop_words=(stop_word,)))
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+    for b in range(2):
+        t = theirs[b]
+        while len(t) and t[-1] in (cfg.pad_token_id, cfg.eos_token_id):
+            t = t[:-1]
+        best = tokens[b, 0, : lengths[b, 0]]
+        while len(best) and best[-1] in (cfg.pad_token_id, cfg.eos_token_id):
+            best = best[:-1]
+        np.testing.assert_array_equal(best, t)
+    np.testing.assert_allclose(np.asarray(scores)[:, 0], hf_scores,
+                               atol=1e-5, rtol=1e-5)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional, Tuple
+from typing import Any, Optional, Tuple, Union
 
 
 def _freeze(x):
@@ -199,7 +199,10 @@ class GenerationConfig:
     temperature: float = 1.0
     top_k: int = 0          # 0 → greedy/beam (no sampling)
     top_p: float = 0.0      # 0 → disabled
-    early_stopping: bool = True
+    # True / False / "never" — the three HF early-stopping modes for beam
+    # search (False and "never" keep searching while a running beam could
+    # still beat the worst finished hypothesis)
+    early_stopping: Union[bool, str] = True
     # timestamp decoding (requires cfg.no_timestamps_token_id; the forced
     # prefix must not pin <|notimestamps|>)
     return_timestamps: bool = False

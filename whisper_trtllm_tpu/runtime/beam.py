@@ -36,6 +36,12 @@ class BeamState(NamedTuple):
     finished_lengths: jnp.ndarray # (B, K)
     pos: jnp.ndarray              # scalar
     self_kv: tuple                # float (k, v) or int8 (kq, ks, vq, vs)
+    es_unsat: jnp.ndarray         # (B,) bool — improvement still possible
+                                  # (HF is_early_stop_heuristic_unsatisfied,
+                                  # sticky once False)
+    all_hit: jnp.ndarray          # scalar bool — every candidate of the last
+                                  # expansion hit a stop criterion (HF
+                                  # valid_continuations inverse)
 
 
 def _gather_beams(x: jnp.ndarray, parents: jnp.ndarray, batch: int, k: int):
@@ -82,6 +88,14 @@ def _beam_decode_impl(
     # word tables are numpy at trace time (static tuples of python ints)
     bad_tbl = (tuple(map(jnp.asarray, sampling.pad_word_list(gen.bad_words)))
                if gen.bad_words else None)
+    stop_tbl = (tuple(map(jnp.asarray, sampling.pad_word_list(gen.stop_words)))
+                if gen.stop_words else None)
+    # early_stopping: True (halt a lane once K hypotheses finish), False
+    # (continue while the best running beam could still beat the worst
+    # finished one at the current length), or "never" (same, but with a
+    # positive length penalty the hypothetical best uses max_length) — the
+    # three HF modes (generation/utils.py::_check_early_stop_heuristic)
+    es_mode = gen.early_stopping
 
     # compute cross-KV once per utterance, then tile beam-major
     # (B, ...) -> (B*K, ...) — the analog of the reference's
@@ -119,15 +133,26 @@ def _beam_decode_impl(
         finished_lengths=jnp.zeros((batch, k), jnp.int32),
         pos=jnp.int32(0),
         self_kv=self_kv,
+        es_unsat=jnp.ones((batch,), bool),
+        all_hit=jnp.asarray(False),
     )
 
-    def batch_done(s: BeamState):
-        # early stopping (HF early_stopping=True): a batch lane is done when
-        # its finished pool is full
+    def pool_full(s: BeamState):
+        # a batch lane whose finished pool holds K real hypotheses (HF
+        # is_sent_finished all-True for the lane)
         return jnp.all(s.finished_scores > NEG_INF / 2, axis=1)  # (B,)
 
     def cond(s: BeamState):
-        return jnp.logical_and(s.pos < max_len - 1, ~jnp.all(batch_done(s)))
+        # HF _beam_search_has_unfinished_sequences: improvement possible
+        # somewhere AND (early_stopping=True: some lane's pool not full) AND
+        # the last expansion left at least one viable continuation
+        improvement_possible = jnp.any(s.es_unsat)
+        if es_mode is True:
+            exists_open = ~jnp.all(pool_full(s))
+        else:
+            exists_open = jnp.asarray(True)
+        return (s.pos < max_len - 1) & improvement_possible & exists_open \
+            & ~s.all_hit
 
     def body(s: BeamState):
         cur = jax.lax.dynamic_index_in_dim(
@@ -200,46 +225,57 @@ def _beam_decode_impl(
         seqs = jax.lax.dynamic_update_slice(
             seqs, tok_ids[:, :, None], (0, 0, nxt_pos)
         )
-        # A candidate may retire into the finished pool only if (a) it is EOS,
-        # (b) it ranks within the top K of the 2K expansion (HF
-        # BeamSearchScorer.process skips EOS candidates ranked >= num_beams),
-        # and (c) it carries a real score — dead-beam candidates sit at
-        # ~NEG_INF, which length-penalty division would otherwise drag above
-        # the done threshold.
+        # ---- per-candidate stop criteria (HF next_token_hits_stopping_
+        # criteria): EOS, and any stop-word sequence matching the trailing
+        # window of the candidate (the reference applies stop_words_list
+        # regardless of beam width — cpp/tensorrt_llm/layers/
+        # dynamicDecodeLayer.cpp:317-326) ----
+        hits_tok = tok_ids == cfg.eos_token_id
+        if stop_tbl is not None:
+            stop_hit = sampling.match_stop_words(
+                seqs.reshape(batch * 2 * k, max_len), nxt_pos, stop_tbl
+            ).reshape(batch, 2 * k)
+            hits_tok = hits_tok | stop_hit
+        if prompt_len > 1:  # a prompt token that happens to equal EOS/stop
+            hits_tok = hits_tok & (nxt_pos >= prompt_len)
+        # A candidate may retire into the finished pool only if (a) it hit a
+        # stop criterion, (b) it ranks within the top K of the 2K expansion
+        # (HF's top_num_beam_mask), and (c) it carries a real score —
+        # dead-beam candidates sit at ~NEG_INF, which length-penalty
+        # division would otherwise drag above the done threshold.
         in_top_k = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * k), 1) < k
-        is_eos_tok = tok_ids == cfg.eos_token_id
-        is_eos = is_eos_tok & in_top_k & (topv > NEG_INF / 2)
-        if prompt_len > 1:  # a prompt token that happens to equal EOS
-            is_eos = is_eos & (nxt_pos >= prompt_len)
-            is_eos_tok = is_eos_tok & (nxt_pos >= prompt_len)
+        retire = hits_tok & in_top_k & (topv > NEG_INF / 2)
 
-        # ---- alive set: best K non-EOS candidates ----
-        # EOS candidates never continue decoding, regardless of rank: an EOS
+        # ---- alive set: best K non-finished candidates ----
+        # Hit candidates never continue decoding, regardless of rank: one
         # ranked >= K is dropped entirely (HF skips it from both pools), not
-        # expanded — masking only `is_eos` here would let it leak into the
-        # alive set and condition the decoder on EOS.
-        alive_cand = jnp.where(is_eos_tok, NEG_INF, topv)
+        # expanded — masking only `retire` here would let it leak into the
+        # alive set and condition the decoder on EOS. HF adds -1e9 rather
+        # than replacing (so a uniform shift at an all-hit step preserves
+        # candidate order) — mirrored here.
+        alive_cand = topv + hits_tok.astype(topv.dtype) * NEG_INF
         _, alive_sel = jax.lax.top_k(alive_cand, k)           # (B, K) into 2K
         new_alive_scores = jnp.take_along_axis(alive_cand, alive_sel, axis=1)
         new_alive_tokens = _gather_beams(seqs, alive_sel, batch, 2 * k)
         alive_parents = jnp.take_along_axis(parents, alive_sel, axis=1)
 
-        # ---- finished pool: merge EOS candidates (length-penalized) ----
+        # ---- finished pool: merge retiring candidates (length-penalized) ----
         fin_len = nxt_pos + 1
-        # HF penalizes by the hypothesis length *excluding* the EOS token
-        # (BeamHypotheses.add uses the pre-EOS prefix length); a decoder
-        # prompt does not count toward the penalty (HF's
-        # cur_len + 1 - decoder_prompt_len denominator)
+        # HF penalizes by cur_len + 1 - decoder_prompt_len: the generated
+        # length including the stopping token but excluding the prompt
         fin_cand_scores = jnp.where(
-            is_eos,
+            retire,
             topv / _length_penalty(nxt_pos - (prompt_len - 1),
                                    length_penalty),
             NEG_INF,
         )
-        # lanes already done stop accepting (HF early_stopping semantics)
-        fin_cand_scores = jnp.where(
-            batch_done(s)[:, None], NEG_INF, fin_cand_scores
-        )
+        # lanes done stop accepting (HF _update_finished_beams gates):
+        # early_stopping=True — pool already full; any mode — the early-stop
+        # heuristic says no running beam can improve the pool
+        blocked = ~s.es_unsat
+        if es_mode is True:
+            blocked = blocked | pool_full(s)
+        fin_cand_scores = jnp.where(blocked[:, None], NEG_INF, fin_cand_scores)
         merged_scores = jnp.concatenate([s.finished_scores, fin_cand_scores], axis=1)
         merged_tokens = jnp.concatenate([s.finished_tokens, seqs], axis=1)
         merged_lengths = jnp.concatenate(
@@ -257,10 +293,31 @@ def _beam_decode_impl(
             _gather_beams(c, alive_parents, batch, k) for c in new_self_kv
         )
 
+        # ---- early-stop heuristic (HF _check_early_stop_heuristic, run for
+        # every mode): sticky-False once the best running beam's hypothetical
+        # best score cannot beat the worst finished hypothesis. For
+        # "never" with a positive penalty the hypothetical length is the
+        # max generatable length (longer is better then); otherwise the
+        # current generated length. Unfinished pool slots sit at NEG_INF, so
+        # the heuristic cannot fire before the pool fills. ----
+        if es_mode == "never" and length_penalty > 0.0:
+            best_hyp_len = jnp.int32(max_len - prompt_len)
+        else:
+            # clamp: inside a teacher-forced prompt window the generated
+            # length is still 0 (HF prefills the prompt in one forward and
+            # never evaluates the heuristic there); 0**penalty would divide
+            # the score by zero and latch the heuristic through the nan
+            best_hyp_len = jnp.maximum(fin_len - prompt_len, 1)
+        best_possible = new_alive_scores[:, 0] / _length_penalty(
+            best_hyp_len, length_penalty)
+        worst_finished = jnp.min(new_fin_scores, axis=1)
+        new_es_unsat = s.es_unsat & (best_possible > worst_finished)
+
         return BeamState(
             new_alive_tokens, new_alive_scores,
             new_fin_tokens, new_fin_scores, new_fin_lengths,
             nxt_pos, new_self_kv,
+            new_es_unsat, jnp.all(hits_tok),
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -275,8 +332,11 @@ def _beam_decode_impl(
     alive_final_scores = final.alive_scores / _length_penalty(
         alive_len - prompt_len, length_penalty
     )
+    final_blocked = ~final.es_unsat
+    if es_mode is True:
+        final_blocked = final_blocked | pool_full(final)
     alive_final_scores = jnp.where(
-        batch_done(final)[:, None], NEG_INF, alive_final_scores
+        final_blocked[:, None], NEG_INF, alive_final_scores
     )
     merged_scores = jnp.concatenate(
         [final.finished_scores, alive_final_scores], axis=1
@@ -320,23 +380,22 @@ def beam_decode(
     gen: GenerationConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (tokens (B, K, max_len) best-first, scores (B, K),
-    lengths (B, K))."""
-    if not gen.early_stopping:
-        raise NotImplementedError(
-            "beam search implements early_stopping=True semantics only (a "
-            "lane stops once K hypotheses finish — HF BeamHypotheses with "
-            "early_stopping=True); continued search over alive beams is not "
-            "wired, and silently returning early-stopped results would "
-            "misrepresent the config")
-    if gen.stop_words:
-        raise NotImplementedError(
-            "stop_words with beam search is not wired: retiring a beam on a "
-            "stop sequence needs its own finished-pool semantics (scoring a "
-            "hypothesis that ends mid-word); the reference's stop-criteria "
-            "kernel is likewise exercised only by the sampling paths. Use "
-            "stop_words with greedy/sampled decoding.")
+    lengths (B, K)).
+
+    ``gen.early_stopping`` supports all three HF modes (True / False /
+    "never"); ``gen.stop_words`` retire beams per candidate exactly like
+    EOS (the reference applies stop_words_list regardless of beam width,
+    cpp/tensorrt_llm/layers/dynamicDecodeLayer.cpp:317-326)."""
+    _check_early_stopping(gen)
     max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)
     return _compiled_beam(cfg, max_len, gen)(params, enc_states)
+
+
+def _check_early_stopping(gen: GenerationConfig) -> None:
+    if gen.early_stopping not in (True, False, "never"):
+        raise ValueError(
+            f"early_stopping must be True, False or 'never'; "
+            f"got {gen.early_stopping!r}")
 
 
 @functools.lru_cache(maxsize=16)
@@ -373,13 +432,10 @@ def beam_decode_prompted(
     penalty counts generated tokens only, and EOS retirement starts after
     the prompt. Completes the conditioned long-form feature matrix for
     beams (same loop, same processors). Returns (tokens (B, K, max_len)
-    best-first, scores (B, K), lengths (B, K))."""
-    if not gen.early_stopping:
-        raise NotImplementedError(
-            "beam search implements early_stopping=True semantics only")
-    if gen.stop_words:
-        raise NotImplementedError(
-            "stop_words with beam search is not wired (see beam_decode)")
+    best-first, scores (B, K), lengths (B, K)). Supports the same
+    early_stopping modes and stop-word retirement as ``beam_decode``
+    (stop criteria are gated off inside the prompt window)."""
+    _check_early_stopping(gen)
     prompt = jnp.asarray(prompt, jnp.int32)
     prompt_len = prompt.shape[1]
     max_len = min(cfg.max_target_positions,
