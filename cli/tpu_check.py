@@ -311,6 +311,97 @@ def check_int8_kv_greedy():
     return agree >= 0.8, {"token_agreement": agree}
 
 
+def check_cross_attn_kernel():
+    """Head-contiguous cross-attention library kernel vs the XLA decode
+    step, compiled on hardware (previously interpret-only — VERDICT r2
+    order 6)."""
+    import jax.numpy as jnp
+
+    from whisper_trtllm_tpu.ops.attention import mha_decode_step
+    from whisper_trtllm_tpu.ops.pallas.cross_attention import cross_decode_mha
+
+    rng = np.random.default_rng(4)
+    b, h, t, dh = 4, 6, 1504, 64          # tiny.en cross shapes
+    valid = 1500
+    q = jnp.asarray(rng.standard_normal((b, h, 1, dh)), jnp.float32) * 0.3
+    ck = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32) * 0.3
+    cv = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    ref = np.asarray(mha_decode_step(q, ck, cv, jnp.int32(valid)))
+    q2 = jnp.reshape(q[:, :, 0], (b, h * dh))
+    k2 = jnp.reshape(jnp.transpose(ck, (0, 2, 1, 3)), (b, t, h * dh))
+    v2 = jnp.reshape(jnp.transpose(cv, (0, 2, 1, 3)), (b, t, h * dh))
+    out = np.asarray(cross_decode_mha(q2, k2, v2, heads=h, head_dim=dh,
+                                      valid_len=valid))
+    err = float(np.abs(out - ref[:, :, 0].reshape(b, h * dh)).max())
+    return err < 2e-4, {"max_err": err}
+
+
+def check_stft_kernel():
+    """Pallas STFT+mel+log frontend kernel vs the block-matmul jnp path on
+    hardware (previously interpret-only — VERDICT r2 order 6)."""
+    import jax.numpy as jnp
+
+    from whisper_trtllm_tpu.audio.features import (
+        HOP_LENGTH, N_FREQ_BINS, LogMelSpectrogram,
+    )
+    from whisper_trtllm_tpu.ops.pallas.stft import stft_log_mel
+
+    rng = np.random.default_rng(5)
+    fe = LogMelSpectrogram(80)
+    n_rows = 300 + 2
+    audio_blocks = rng.standard_normal(
+        (2, n_rows, HOP_LENGTH)).astype(np.float32) * 0.1
+    frames = np.concatenate(
+        [audio_blocks[:, :-2], audio_blocks[:, 1:-1], audio_blocks[:, 2:]],
+        axis=-1)
+    spec = np.einsum("btn,nf->btf", frames, np.asarray(fe.dft_basis))
+    power = spec[..., :N_FREQ_BINS] ** 2 + spec[..., N_FREQ_BINS:] ** 2
+    ref = np.log10(np.maximum(power @ np.asarray(fe.mel_fb), 1e-10))
+    out = np.asarray(stft_log_mel(
+        jnp.asarray(audio_blocks), fe.dft_basis, fe.mel_fb))
+    err = float(np.abs(out - ref).max())
+    return err < 5e-4, {"max_err": err}
+
+
+def check_beam_path():
+    """Beam search on hardware: num_beams=1 must reproduce the greedy
+    trajectory token-for-token (argmax is invariant under the beam loop's
+    log-softmax), and k=2 returns sorted finite scores (VERDICT r2
+    order 6's beam-path check)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+    from whisper_trtllm_tpu.models.whisper import init_params
+    from whisper_trtllm_tpu.models.whisper import model as wmodel
+    from whisper_trtllm_tpu.runtime.beam import beam_decode
+    from whisper_trtllm_tpu.runtime.generation import greedy_decode
+
+    cfg = WhisperConfig.tiny_en()
+    params = jax.device_put(init_params(cfg, seed=0))
+    rng = np.random.default_rng(6)
+    mel = jnp.asarray(rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)) * 0.5,
+        jnp.float32)
+    enc = jax.jit(lambda p, m: wmodel.encode(p, cfg, m))(params, mel)
+    g_tokens, g_lens = greedy_decode(
+        params, cfg, enc, GenerationConfig(max_new_tokens=12))
+    b_tokens, b_scores, b_lens = beam_decode(
+        params, cfg, enc, GenerationConfig(max_new_tokens=12, num_beams=1))
+    g_tokens, g_lens = np.asarray(g_tokens), np.asarray(g_lens)
+    b_tokens, b_lens = np.asarray(b_tokens), np.asarray(b_lens)
+    n = int(min(g_lens.min(), b_lens[:, 0].min()))
+    tok_eq = bool((b_tokens[:, 0, :n] == g_tokens[:, :n]).all())
+    t2, s2, l2 = beam_decode(
+        params, cfg, enc, GenerationConfig(max_new_tokens=12, num_beams=2))
+    s2 = np.asarray(s2)
+    sorted_ok = bool((np.diff(s2, axis=1) <= 1e-6).all())
+    finite_ok = bool(np.isfinite(s2[:, 0]).all())
+    return tok_eq and sorted_ok and finite_ok, {
+        "beam1_eq_greedy": tok_eq, "k2_sorted": sorted_ok,
+        "k2_finite": finite_ok, "prefix_len": n}
+
+
 CHECKS = {
     "flash_fwd": check_flash_fwd,
     "flash_bwd": check_flash_bwd,
@@ -321,7 +412,29 @@ CHECKS = {
     "int8_kv_greedy": check_int8_kv_greedy,
     "step_equals_full": check_step_equals_full,
     "paged_vs_contiguous": check_paged_vs_contiguous,
+    "cross_attn_kernel": check_cross_attn_kernel,
+    "stft_kernel": check_stft_kernel,
+    "beam_path": check_beam_path,
 }
+
+# state file consumed by bench.py: the driver-visible BENCH number must not
+# ride over a failed/never-run kernel check (VERDICT r2 order 6)
+STATE_PATH_ENV = "WHISPER_TPU_CHECK_STATE"
+DEFAULT_STATE_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "TPU_CHECK_LAST.json")
+
+
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
 
 
 def main(argv=None):
@@ -355,7 +468,8 @@ def main(argv=None):
     # Mosaic kernel checks only make sense with the kernels enabled; on a
     # non-TPU dry run they would take interpret-free paths and fail — skip.
     kernel_checks = {"flash_fwd", "flash_bwd", "flash_causal",
-                     "decode_kernel", "fused_layer"}
+                     "decode_kernel", "fused_layer", "cross_attn_kernel",
+                     "stft_kernel"}
     results = {}
     ok = True
     for name in names:
@@ -372,7 +486,19 @@ def main(argv=None):
         results[name] = info
         ok &= bool(passed)
 
-    print(json.dumps({"backend": backend, "pass": bool(ok), **results}))
+    report = {"backend": backend, "pass": bool(ok), **results}
+    print(json.dumps(report))
+    # persist for bench.py's gate (full runs only — a passing subset must
+    # not overwrite/mask a failing full run's record)
+    if backend == "tpu" and not args.only:
+        state = {"ts": time.time(), "git_head": _git_head(),
+                 "pass": bool(ok), "results": report}
+        path = os.environ.get(STATE_PATH_ENV, DEFAULT_STATE_PATH)
+        try:
+            with open(path, "w") as f:
+                json.dump(state, f, indent=1)
+        except OSError as e:
+            print(json.dumps({"state_write_error": str(e)}), file=sys.stderr)
     return 0 if ok else 1
 
 
