@@ -55,7 +55,8 @@ def _load_audio_dir(path, n_mels):
             if f.getframerate() != 16000:
                 raise ValueError(f"{w}: expected 16 kHz, got {f.getframerate()}")
         audio = pad_or_trim(pcm.astype(np.float32) / 32768.0)
-        mels.append(np.asarray(log_mel_spectrogram(audio, n_mels=n_mels))[0])
+        mels.append(np.asarray(
+            log_mel_spectrogram(audio, num_mel_bins=n_mels))[0])
         txt = w.with_suffix(".txt")
         texts.append(txt.read_text().strip() if txt.exists() else "")
     return np.stack(mels), texts

@@ -32,7 +32,7 @@ def _pad_tokens(seqs, pad_id, max_len):
     return out, mask
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--dataset", required=True)
@@ -44,9 +44,18 @@ def main():
     ap.add_argument("--data-parallel", type=int, default=1)
     ap.add_argument("--model-parallel", type=int, default=1)
     ap.add_argument("--remat", action="store_true")
-    args = ap.parse_args()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the environment's "
+                    "sitecustomize pins a TPU otherwise)")
+    args = ap.parse_args(argv)
 
     import jax
+
+    if args.cpu:
+        try:  # must precede first backend use
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -16,5 +16,6 @@ from whisper_trtllm_tpu.models.whisper.model import (  # noqa: F401
 from whisper_trtllm_tpu.models.whisper.convert import (  # noqa: F401
     convert_hf_model,
     convert_state_dict,
+    export_state_dict,
     load_pretrained,
 )

@@ -120,3 +120,66 @@ def load_pretrained(name_or_path: str):
 
     hf = WhisperForConditionalGeneration.from_pretrained(name_or_path)
     return convert_hf_model(hf)
+
+
+def export_state_dict(params: dict, cfg: WhisperConfig) -> Dict[str, np.ndarray]:
+    """Inverse of ``convert_state_dict``: parameter tree → HF state-dict
+    layout (numpy). Lets a locally fine-tuned checkpoint be written back
+    into an HF model dir so the acceptance differential compares the SAME
+    weights on both sides (the reference's cross-framework comparison,
+    examples/whisper/run.py:294-331, but weight-identical by construction).
+    ``proj_out`` stays tied to ``embed_tokens`` (reference:
+    examples/whisper/build_decoder.py:101)."""
+    def norm(x):
+        return np.ascontiguousarray(np.asarray(x, np.float32))
+
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_dense(prefix, p):
+        sd[prefix + ".weight"] = norm(p["kernel"]).T.copy()
+        if "bias" in p:
+            sd[prefix + ".bias"] = norm(p["bias"])
+
+    def put_ln(prefix, p):
+        sd[prefix + ".weight"] = norm(p["scale"])
+        sd[prefix + ".bias"] = norm(p["bias"])
+
+    def put_attn(prefix, p):
+        put_dense(prefix + ".q_proj", p["q"])
+        put_dense(prefix + ".k_proj", p["k"])
+        put_dense(prefix + ".v_proj", p["v"])
+        put_dense(prefix + ".out_proj", p["out"])
+
+    def put_conv1d(prefix, p):
+        sd[prefix + ".weight"] = norm(p["kernel"]).transpose(2, 1, 0).copy()
+        sd[prefix + ".bias"] = norm(p["bias"])
+
+    import jax
+
+    enc, dec = params["encoder"], params["decoder"]
+    put_conv1d("model.encoder.conv1", enc["conv1"])
+    put_conv1d("model.encoder.conv2", enc["conv2"])
+    sd["model.encoder.embed_positions.weight"] = norm(enc["embed_positions"])
+    put_ln("model.encoder.layer_norm", enc["layer_norm"])
+    for i in range(cfg.encoder_layers):
+        lp = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], enc["layers"])
+        p = f"model.encoder.layers.{i}"
+        put_attn(p + ".self_attn", lp["self_attn"])
+        put_ln(p + ".self_attn_layer_norm", lp["self_attn_layer_norm"])
+        put_dense(p + ".fc1", lp["fc1"])
+        put_dense(p + ".fc2", lp["fc2"])
+        put_ln(p + ".final_layer_norm", lp["final_layer_norm"])
+    sd["model.decoder.embed_tokens.weight"] = norm(dec["embed_tokens"])
+    sd["model.decoder.embed_positions.weight"] = norm(dec["embed_positions"])
+    put_ln("model.decoder.layer_norm", dec["layer_norm"])
+    for i in range(cfg.decoder_layers):
+        lp = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], dec["layers"])
+        p = f"model.decoder.layers.{i}"
+        put_attn(p + ".self_attn", lp["self_attn"])
+        put_ln(p + ".self_attn_layer_norm", lp["self_attn_layer_norm"])
+        put_attn(p + ".encoder_attn", lp["encoder_attn"])
+        put_ln(p + ".encoder_attn_layer_norm", lp["encoder_attn_layer_norm"])
+        put_dense(p + ".fc1", lp["fc1"])
+        put_dense(p + ".fc2", lp["fc2"])
+        put_ln(p + ".final_layer_norm", lp["final_layer_norm"])
+    return sd
