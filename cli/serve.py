@@ -38,10 +38,14 @@ def build_handler(server_state):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {
+                obj = {
                     "status": "ok",
                     "pending": int(server_state["server"].pending),
-                })
+                }
+                stats = getattr(server_state["server"], "stats", None)
+                if callable(stats):  # sched backend: native queue counters
+                    obj["scheduler"] = stats()
+                self._reply(200, obj)
             else:
                 self._reply(404, {"error": "not found"})
 
