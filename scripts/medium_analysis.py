@@ -24,7 +24,7 @@ sys.path.insert(0, ".")
 
 
 def run_variant(name, cfg, gen_tokens, batch, *, weight_int8=True,
-                kv_int8=True, quantize_vocab=False, fuse_qkv=False):
+                kv_dtype="int8", quantize_vocab=False, fuse_qkv=False):
     import dataclasses
 
     import jax
@@ -53,7 +53,7 @@ def run_variant(name, cfg, gen_tokens, batch, *, weight_int8=True,
     params = jax.device_put(cast_params(params, jnp.bfloat16))
 
     gen = GenerationConfig(max_new_tokens=gen_tokens,
-                           kv_cache_dtype="int8" if kv_int8 else "auto")
+                           kv_cache_dtype=kv_dtype if kv_dtype else "auto")
     rng = np.random.default_rng(0)
     mel = jax.device_put(jnp.asarray(rng.standard_normal(
         (batch, 2 * cfg.max_source_positions, cfg.num_mel_bins)) * 0.5,
@@ -87,7 +87,7 @@ def run_variant(name, cfg, gen_tokens, batch, *, weight_int8=True,
     decode_s = pipe_s - enc_s
 
     wb = 1.0 if weight_int8 else 2.0
-    kvb = 1.0 if kv_int8 else 2.0
+    kvb = 1.0 if kv_dtype in ("int8", "fp8") else 2.0
     vb = 1.0 if quantize_vocab else 2.0
     bytes_step = roofline.decode_bytes_per_step(
         cfg, batch, gen_tokens // 2, weight_bytes=wb, kv_bytes=kvb,
@@ -120,9 +120,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--gen", type=int, default=48)
     ap.add_argument("--variant", default="all",
-                    choices=["all", "base", "qvocab", "fuseqkv", "bf16",
-                             "bf16_int8kv", "bf16_int8kv_qvocab",
-                             "qvocab_fuseqkv"])
+                    choices=["all", "base", "fp8kv", "qvocab", "fuseqkv",
+                             "bf16", "bf16_int8kv", "bf16_fp8kv",
+                             "bf16_int8kv_qvocab", "qvocab_fuseqkv"])
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/wtpu_xla_cache")
@@ -135,13 +135,14 @@ def main():
 
     variants = {
         "base": dict(),
+        "fp8kv": dict(kv_dtype="fp8"),
         "qvocab": dict(quantize_vocab=True),
         "fuseqkv": dict(fuse_qkv=True),
         "qvocab_fuseqkv": dict(quantize_vocab=True, fuse_qkv=True),
-        "bf16": dict(weight_int8=False, kv_int8=False),
-        "bf16_int8kv": dict(weight_int8=False, kv_int8=True),
-        "bf16_int8kv_qvocab": dict(weight_int8=False, kv_int8=True,
-                                   quantize_vocab=True),
+        "bf16": dict(weight_int8=False, kv_dtype=None),
+        "bf16_int8kv": dict(weight_int8=False),
+        "bf16_fp8kv": dict(weight_int8=False, kv_dtype="fp8"),
+        "bf16_int8kv_qvocab": dict(weight_int8=False, quantize_vocab=True),
     }
     names = list(variants) if args.variant == "all" else [args.variant]
     for name in names:

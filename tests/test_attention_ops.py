@@ -88,3 +88,32 @@ def test_incremental_cache_equals_full(rng):
         ))
     np.testing.assert_allclose(np.concatenate(steps, axis=2), full,
                                atol=2e-6, rtol=1e-5)
+
+
+def test_decode_step_t_major_matches_default(rng):
+    """T-minor (B,H,dh,T) cross-cache layout == the default (B,H,T,dh) —
+    float and quantized, scalar and per-lane valid_len. The layout is the
+    round-3 cross-KV bandwidth fix (2.38x measured on v5e,
+    scripts/cross_attn_probe.py); it must be a pure relayout."""
+    from whisper_trtllm_tpu.ops.attention import quantize_kv
+
+    b, h, t, dh = 2, 3, 24, 16
+    q = jnp.asarray(rng.standard_normal((b, h, 1, dh)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, dh)) * 0.4, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    for vl in (jnp.int32(t), jnp.asarray([5, t], jnp.int32)):
+        ref = np.asarray(mha_decode_step(q, k, v, vl))
+        got = np.asarray(mha_decode_step(
+            q, jnp.swapaxes(k, -1, -2), jnp.swapaxes(v, -1, -2), vl,
+            t_major=True))
+        np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-5)
+
+    kq, ks = quantize_kv(k, jnp.int8)
+    vq, vs = quantize_kv(v, jnp.int8)
+    for vl in (jnp.int32(t), jnp.asarray([5, t], jnp.int32)):
+        ref = np.asarray(mha_decode_step(q, kq, vq, vl, k_scale=ks,
+                                         v_scale=vs))
+        got = np.asarray(mha_decode_step(
+            q, jnp.swapaxes(kq, -1, -2), jnp.swapaxes(vq, -1, -2), vl,
+            k_scale=ks, v_scale=vs, t_major=True))
+        np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-5)

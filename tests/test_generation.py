@@ -166,3 +166,39 @@ def test_prompted_greedy_matches_hf_decoder_input_ids(hf_pair, rng):
         np.testing.assert_array_equal(ours_gen[:n], theirs_b[:n])
         # the prompt itself is preserved verbatim
         np.testing.assert_array_equal(tokens[b, :p], prompt[b])
+
+
+def test_cross_kv_layout_invariance():
+    """greedy int8-KV decode is token-identical whichever cross-KV layout
+    is used ("auto" resolves to T-minor for quantized caches); float path
+    forced to bhdt must match the default bhtd too."""
+    import dataclasses
+
+    from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+    from whisper_trtllm_tpu.models.whisper import init_params
+    from whisper_trtllm_tpu.models.whisper import model as wmodel
+    from whisper_trtllm_tpu.runtime.generation import greedy_decode
+
+    cfg = WhisperConfig.testing()
+    params = init_params(cfg, seed=3)
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal(
+        (2, 2 * cfg.max_source_positions, cfg.num_mel_bins)) * 0.5,
+        jnp.float32)
+    enc = wmodel.encode(params, cfg, mel)
+
+    for dtype in ("int8", "fp8"):
+        base = GenerationConfig(max_new_tokens=12, kv_cache_dtype=dtype)
+        t_auto, l_auto = greedy_decode(params, cfg, enc, base)
+        t_ref, l_ref = greedy_decode(
+            params, cfg, enc,
+            dataclasses.replace(base, cross_kv_layout="bhtd"))
+        np.testing.assert_array_equal(np.asarray(t_auto), np.asarray(t_ref))
+        np.testing.assert_array_equal(np.asarray(l_auto), np.asarray(l_ref))
+
+    base = GenerationConfig(max_new_tokens=12)
+    t_d, l_d = greedy_decode(params, cfg, enc, base)
+    t_t, l_t = greedy_decode(
+        params, cfg, enc, dataclasses.replace(base, cross_kv_layout="bhdt"))
+    np.testing.assert_array_equal(np.asarray(t_d), np.asarray(t_t))
+    np.testing.assert_array_equal(np.asarray(l_d), np.asarray(l_t))

@@ -212,6 +212,14 @@ class GenerationConfig:
     # caches quantized with per-token scales (QuantMode.INT8_KV_CACHE /
     # FP8_KV_CACHE analogs; fp8 = float8_e4m3fn storage)
     kv_cache_dtype: str = "auto"
+    # cross-attention cache layout: "bhtd" (head_dim minor, the natural
+    # projection layout) or "bhdt" (encoder-T minor — fills full 128-lane
+    # HBM tiles, 2.38x faster cross-reads at medium dims on v5e, see
+    # models/whisper/model.py::transpose_cross_kv). "auto" = bhdt for
+    # quantized caches (where the full-cache read dominates step traffic
+    # and the win is measured), bhtd for float (keeps the fused-step and
+    # Pallas ablation paths intact).
+    cross_kv_layout: str = "auto"
     # word-rule / length processors (the reference DynamicDecodeLayer's
     # presence_penalty / min_length / bad_words_list / stop_words_list
     # inputs, cpp/tensorrt_llm/layers/dynamicDecodeLayer.h:37-128), applied

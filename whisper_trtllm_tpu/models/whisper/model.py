@@ -325,6 +325,34 @@ def quantize_cross_kv(
     return kq, ks, vq, vs
 
 
+def transpose_cross_kv(cross_kv: Tuple[jnp.ndarray, ...]) -> Tuple[jnp.ndarray, ...]:
+    """(L, B, H, Tc, dh) cross-KV tuple → T-minor (L, B, H, dh, Tc).
+
+    The dh=64 minor dim leaves TPU HBM tiles half-empty (int8 tiles are
+    (32, 128), bf16 (16, 128)), so every full-cache cross-attention read
+    moves ~2x the useful bytes; T-minor fills the lanes. Measured 2.38x per
+    medium.en decode step on v5e (scripts/cross_attn_probe.py, docs/
+    PERFORMANCE.md round-3 medium section). Works on the float 2-tuple and
+    the quantized 4-tuple (per-token scales keep their (L, B, H, Tc, 1)
+    shape — they are ~dh x smaller than the caches). decode_step_kv detects
+    the layout from the static shapes; no flag threads through the loops."""
+    if len(cross_kv) == 4:
+        kq, ks, vq, vs = cross_kv
+        return (jnp.swapaxes(kq, -1, -2), ks, jnp.swapaxes(vq, -1, -2), vs)
+    k, v = cross_kv
+    return jnp.swapaxes(k, -1, -2), jnp.swapaxes(v, -1, -2)
+
+
+def cross_kv_t_major(cfg: WhisperConfig, cross_kv: Tuple[jnp.ndarray, ...]) -> bool:
+    """True iff the cross-KV tuple is stored T-minor ((..., dh, Tc) instead
+    of (..., Tc, dh)) — static shape inspection, unambiguous whenever the
+    padded encoder length differs from head_dim (always, for real configs;
+    equal-dim toy configs read as the default dh-minor layout)."""
+    dh = cfg.decoder_head_dim
+    k = cross_kv[0]
+    return k.shape[-2] == dh and k.shape[-1] != dh
+
+
 def init_self_kv_quant(
     cfg: WhisperConfig, batch: int, max_len: Optional[int] = None,
     dtype=jnp.int8,
@@ -425,13 +453,14 @@ def decode_step_kv(
     n_self = len(self_kv)
     int8_self = n_self == 4
     int8_cross = len(cross_kv) == 4
+    t_major = cross_kv_t_major(cfg, cross_kv)
 
     x = embedding(dec["embed_tokens"], tokens[:, None])
     x = x + jax.lax.dynamic_slice_in_dim(
         dec["embed_positions"], pos, 1, axis=0
     ).astype(x.dtype)[None]
 
-    if not (int8_self or int8_cross) and _fused_decode_ok(
+    if not (int8_self or int8_cross or t_major) and _fused_decode_ok(
         dec, self_kv[0], cross_kv[0], pos
     ):
         return _decode_step_fused(dec, cfg, x, pos, self_kv, cross_kv)
@@ -463,9 +492,10 @@ def decode_step_kv(
         qc = cross_attention_q(lp, h, heads)
         enc_len = jnp.int32(cfg.max_source_positions)
         if int8_cross:
-            a = mha_decode_step(qc, c[0], c[2], enc_len, k_scale=c[1], v_scale=c[3])
+            a = mha_decode_step(qc, c[0], c[2], enc_len, k_scale=c[1],
+                                v_scale=c[3], t_major=t_major)
         else:
-            a = mha_decode_step(qc, c[0], c[1], enc_len)
+            a = mha_decode_step(qc, c[0], c[1], enc_len, t_major=t_major)
         x = x + dense(lp["encoder_attn"]["out"], merge_heads(a))
         # MLP
         h = layer_norm(lp["final_layer_norm"], x)
@@ -540,7 +570,8 @@ def decode_step_ragged(
         d = x.shape[-1]
         qc = cross_attention_q(lp, h, heads)
         a = merge_heads(
-            mha_decode_step(qc, ck, cv, jnp.int32(cfg.max_source_positions))
+            mha_decode_step(qc, ck, cv, jnp.int32(cfg.max_source_positions),
+                            t_major=cross_kv_t_major(cfg, (ck, cv)))
         )
         x = x + dense(lp["encoder_attn"]["out"], a)
 

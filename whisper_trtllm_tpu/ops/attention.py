@@ -174,6 +174,7 @@ def mha_decode_step(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
+    t_major: bool = False,
 ) -> jnp.ndarray:
     """Single-token attention against a static cache.
 
@@ -181,6 +182,15 @@ def mha_decode_step(
     of valid cache positions. Positions >= valid_len are masked out, which is
     how one static shape serves every step (and both self- and cross-
     attention: for cross, valid_len is the constant encoder length).
+
+    ``t_major``: caches are stored (B, H, dh, Tmax) — the T-minor layout
+    that fills full 128-lane HBM tiles (a dh=64 minor dim leaves int8
+    (32,128) and bf16 (16,128) tiles half-empty, so every read moves ~2x
+    the useful bytes). Measured on v5e at medium.en dims b16 int8: 208 GB/s
+    effective (25% of HBM) for the dh-minor layout vs 495 GB/s (60%) for
+    T-minor — 2.38x per decode step (scripts/cross_attn_probe.py). Used for
+    the cross-attention cache, whose full-T read dominates decode traffic;
+    scales keep their (B, H, Tmax, 1) shape either way.
 
     ``bias``: optional additive score bias broadcastable to (B, H, 1, Tmax)
     — the ALiBi path (the reference's gptAttention plugin takes the same
@@ -200,6 +210,37 @@ def mha_decode_step(
     import os
 
     per_lane = getattr(valid_len, "ndim", 0) == 1
+    if t_major:
+        t = cache_k.shape[3]
+        if k_scale is not None:
+            scores = jnp.einsum(
+                "bhqd,bhdt->bhqt", q, cache_k.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            ) * k_scale[..., 0][:, :, None, :]
+        else:
+            scores = jnp.einsum(
+                "bhqd,bhdt->bhqt", q, cache_k,
+                preferred_element_type=jnp.float32,
+            )
+        if bias is not None:
+            scores = scores + bias.astype(scores.dtype)
+        pos_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
+        vl = valid_len[:, None, None, None] if per_lane else valid_len
+        scores = jnp.where(pos_ids < vl, scores, jnp.float32(-1e9))
+        if fp32_softmax:
+            weights = jax.nn.softmax(scores, axis=-1)
+        else:
+            weights = jax.nn.softmax(scores.astype(q.dtype), axis=-1)
+        if v_scale is not None:
+            weights = (weights * v_scale[..., 0][:, :, None, :]).astype(
+                q.dtype)
+            cache_v = cache_v.astype(q.dtype)
+        else:
+            weights = weights.astype(q.dtype)
+        return jnp.einsum(
+            "bhqt,bhdt->bhqd", weights, cache_v,
+            preferred_element_type=q.dtype,
+        )
     if k_scale is not None:
         # int8 KV cache. Do NOT materialize a dequantized cache (XLA would
         # write/read the full-size float tensor each step, which measured

@@ -41,11 +41,16 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int,
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh = q[sl][None, :].astype(jnp.float32)     # (1, dh)
         # fp32 operands: Mosaic mis-lowers bf16 dots with a (1, dh)
-        # broadcast operand ('vector.broadcast' element-type mismatch)
+        # broadcast operand ('vector.broadcast' element-type mismatch).
+        # HIGHEST precision: default-precision MXU rounds fp32 operands to
+        # one bf16 pass (measured 3.2e-4 max err vs the XLA oracle on v5e —
+        # the same drift the STFT kernel hit); full fp32 passes restore
+        # <2e-4 agreement.
         s = jax.lax.dot_general(
             k[:, sl].astype(jnp.float32), qh,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                           # (T, 1) fp32
         s = jnp.where(pad_mask, s, jnp.float32(-1e9))
         m = jnp.max(s, axis=0, keepdims=True)
@@ -55,6 +60,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int,
             p, v[:, sl].astype(jnp.float32),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(v.dtype))                          # (1, dh)
     o_ref[0, 0] = jnp.concatenate(outs, axis=1)[0]  # (H*dh,)
 

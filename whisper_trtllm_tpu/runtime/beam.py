@@ -23,7 +23,10 @@ from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
 from whisper_trtllm_tpu.models.whisper import model as wmodel
 from whisper_trtllm_tpu.runtime import logits_process as lp
 from whisper_trtllm_tpu.runtime import sampling
-from whisper_trtllm_tpu.runtime.generation import kv_quant_dtype
+from whisper_trtllm_tpu.runtime.generation import (
+    apply_cross_layout,
+    kv_quant_dtype,
+)
 
 NEG_INF = jnp.float32(-1.0e9)
 
@@ -113,6 +116,7 @@ def _beam_decode_impl(
     else:
         cross_kv = (cross_k, cross_v)
         self_kv = wmodel.init_self_kv(cfg, batch * k, max_len, dtype=dtype)
+    cross_kv = apply_cross_layout(cross_kv, gen.cross_kv_layout)
 
     alive_tokens = jnp.full((batch, k, max_len), cfg.pad_token_id, jnp.int32)
     if prompt is None:

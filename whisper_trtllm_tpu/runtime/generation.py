@@ -38,6 +38,21 @@ def kv_quant_dtype(kv_cache_dtype: str):
     return table[kv_cache_dtype]
 
 
+def apply_cross_layout(cross_kv, layout: str):
+    """Resolve GenerationConfig.cross_kv_layout and transpose the cross-KV
+    tuple to T-minor when asked ("auto": T-minor iff quantized — the
+    measured 2.38x cross-read win, scripts/cross_attn_probe.py; float stays
+    dh-minor so the fused-step path keeps engaging). decode_step_kv detects
+    the layout from static shapes, so this is the only touch point."""
+    if layout not in ("auto", "bhtd", "bhdt"):
+        raise ValueError(
+            f"cross_kv_layout must be auto|bhtd|bhdt, got {layout!r}")
+    quantized = len(cross_kv) == 4
+    if layout == "bhdt" or (layout == "auto" and quantized):
+        return wmodel.transpose_cross_kv(cross_kv)
+    return cross_kv
+
+
 class GreedyState(NamedTuple):
     """Decode-loop carry (analog of the reference's ad-hoc per-step buffers,
     examples/whisper/run.py:195-225)."""
@@ -90,6 +105,7 @@ def _greedy_decode_impl(
     else:
         cross_kv = (cross_k, cross_v)
         self_kv = wmodel.init_self_kv(cfg, batch, max_len, dtype=cache_dtype)
+    cross_kv = apply_cross_layout(cross_kv, gen.cross_kv_layout)
 
     tokens0 = jnp.full((batch, max_len), cfg.pad_token_id, jnp.int32)
     if prompt is None:
