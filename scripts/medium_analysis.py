@@ -24,7 +24,8 @@ sys.path.insert(0, ".")
 
 
 def run_variant(name, cfg, gen_tokens, batch, *, weight_int8=True,
-                kv_dtype="int8", quantize_vocab=False, fuse_qkv=False):
+                kv_dtype="int8", quantize_vocab=False, fuse_qkv=False,
+                cross_layout="auto"):
     import dataclasses
 
     import jax
@@ -53,7 +54,8 @@ def run_variant(name, cfg, gen_tokens, batch, *, weight_int8=True,
     params = jax.device_put(cast_params(params, jnp.bfloat16))
 
     gen = GenerationConfig(max_new_tokens=gen_tokens,
-                           kv_cache_dtype=kv_dtype if kv_dtype else "auto")
+                           kv_cache_dtype=kv_dtype if kv_dtype else "auto",
+                           cross_kv_layout=cross_layout)
     rng = np.random.default_rng(0)
     mel = jax.device_put(jnp.asarray(rng.standard_normal(
         (batch, 2 * cfg.max_source_positions, cfg.num_mel_bins)) * 0.5,
@@ -120,7 +122,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--gen", type=int, default=48)
     ap.add_argument("--variant", default="all",
-                    choices=["all", "base", "fp8kv", "qvocab", "fuseqkv",
+                    choices=["all", "base", "int8kv_bhtd", "bhdt_float",
+                             "fp8kv", "qvocab", "fuseqkv",
                              "bf16", "bf16_int8kv", "bf16_fp8kv",
                              "bf16_int8kv_qvocab", "qvocab_fuseqkv"])
     args = ap.parse_args()
@@ -135,6 +138,9 @@ def main():
 
     variants = {
         "base": dict(),
+        "int8kv_bhtd": dict(cross_layout="bhtd"),   # pre-r3 layout ablation
+        "bhdt_float": dict(weight_int8=False, kv_dtype=None,
+                           cross_layout="bhdt"),    # T-minor on bf16 caches
         "fp8kv": dict(kv_dtype="fp8"),
         "qvocab": dict(quantize_vocab=True),
         "fuseqkv": dict(fuse_qkv=True),
