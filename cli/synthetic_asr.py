@@ -54,9 +54,15 @@ WORD_ID_BASE = 100
 def word_audio(word_index: int, rng=None) -> np.ndarray:
     """Deterministic acoustic form of one word: two consecutive tones whose
     frequencies encode the word index (8x4 grid), 0.12 s each + 0.06 s gap.
-    Optional additive noise makes training see a distribution, not a point."""
-    f1 = 300.0 + 45.0 * (word_index % 8)
-    f2 = 750.0 + 70.0 * (word_index // 8)
+    Optional additive noise makes training see a distribution, not a point.
+
+    Frequencies are LOG-spaced (>=20% apart): the mel filterbank's low-band
+    filters are ~40-60 Hz wide, so the first cut's 45 Hz linear spacing at
+    300-600 Hz was below its resolution — adjacent words landed in the same
+    mel bins, eval WER plateaued at ~80% while the model memorized the
+    training noise instead (ACCEPT runs, round 3)."""
+    f1 = 400.0 * (1.25 ** (word_index % 8))       # 400 .. 1907 Hz
+    f2 = 2200.0 * (1.35 ** (word_index // 8))     # 2200 .. 5413 Hz
     n = int(0.12 * SAMPLE_RATE)
     t = np.arange(n) / SAMPLE_RATE
     env = np.hanning(n)
