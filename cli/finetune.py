@@ -40,6 +40,16 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-5)
+    ap.add_argument("--warmup-steps", type=int, default=0,
+                    help="linear warmup to --lr then cosine decay to lr/20 "
+                    "over the run (from-scratch training needs this: flat "
+                    "3e-4 from step 0 left tiny.en stuck at the word-"
+                    "uniform plateau on the synthetic corpus)")
+    ap.add_argument("--augment-mel", type=float, default=0.0,
+                    help="per-batch gaussian noise added to the input mels "
+                    "(std, in log-mel units) - prevents the model from "
+                    "memorizing per-utterance noise fingerprints instead "
+                    "of word acoustics")
     ap.add_argument("--max-target-len", type=int, default=128)
     ap.add_argument("--data-parallel", type=int, default=1)
     ap.add_argument("--model-parallel", type=int, default=1)
@@ -73,12 +83,23 @@ def main(argv=None):
         mesh = make_mesh(MeshConfig(args.data_parallel, args.model_parallel))
         params = shard_params(params, mesh)
 
+    n = len(data)
+    steps_per_epoch = max((n - args.batch) // args.batch + 1, 1)
+    if args.warmup_steps > 0:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=args.lr / 100.0, peak_value=args.lr,
+            warmup_steps=args.warmup_steps,
+            decay_steps=max(args.epochs * steps_per_epoch, args.warmup_steps + 1),
+            end_value=args.lr / 20.0)
+        opt = optax.adamw(schedule)
+    else:
+        opt = optax.adamw(args.lr)
     init_opt, step = make_train_step(
-        cfg, optax.adamw(args.lr), mesh=mesh, remat=args.remat
+        cfg, opt, mesh=mesh, remat=args.remat
     )
     opt_state = init_opt(params)
 
-    n = len(data)
+    aug_rng = np.random.default_rng(12345)
     for epoch in range(args.epochs):
         perm = np.random.default_rng(epoch).permutation(n)
         losses = []
@@ -88,6 +109,9 @@ def main(argv=None):
             mel = np.stack([np.asarray(data[j][0], np.float32) for j in idx])
             if mel.shape[1] == cfg.num_mel_bins:      # (M, T) → (T, M)
                 mel = mel.transpose(0, 2, 1)
+            if args.augment_mel > 0.0:
+                mel = mel + aug_rng.standard_normal(
+                    mel.shape).astype(np.float32) * args.augment_mel
             tokens, mask = _pad_tokens(
                 [data[j][1] for j in idx], cfg.pad_token_id, args.max_target_len
             )
