@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -118,6 +119,12 @@ def main():
     ap.add_argument("--max-wait-ms", type=int, default=20,
                     help="sched backend: launch a partial batch once the "
                          "oldest request has waited this long")
+    ap.add_argument("--cache-dir", default=os.environ.get(
+        "WHISPER_TPU_CACHE_DIR", "/tmp/wtpu_xla_cache"),
+        help="persistent XLA compilation cache. Without it every daemon "
+        "start pays the full remote compile INSIDE the serving path - "
+        "measured as 37 s p95 and 504s on the first load-test batch "
+        "(docs/RUNTIME.md). Empty string disables.")
     args = ap.parse_args()
 
     from whisper_trtllm_tpu.config import GenerationConfig, RuntimeConfig
@@ -129,7 +136,8 @@ def main():
     sess = WhisperSession(
         params, cfg,
         GenerationConfig(max_new_tokens=args.max_new_tokens),
-        RuntimeConfig(compute_dtype=args.dtype),
+        RuntimeConfig(compute_dtype=args.dtype,
+                      persistent_cache_dir=args.cache_dir or None),
     )
     if args.backend == "ifb":
         from whisper_trtllm_tpu.runtime.server import IfbTranscriptionServer

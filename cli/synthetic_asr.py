@@ -203,7 +203,8 @@ def cmd_make(args):
     # ---- corpora ----
     sot, notime = cfg.decoder_start_token_id, (cfg.no_timestamps_token_id
                                                or 50362)
-    train_sents, rng = make_sentences(args.train_n, args.seed + 1)
+    train_sents, rng = make_sentences(args.train_n, args.seed + 1,
+                                      args.min_words, args.max_words)
     mel_fn = lambda a: log_mel_spectrogram(a, num_mel_bins=cfg.num_mel_bins)
     train = []
     for s in train_sents:
@@ -217,7 +218,8 @@ def cmd_make(args):
 
     eval_dir = os.path.join(args.out, "eval_wavs")
     os.makedirs(eval_dir, exist_ok=True)
-    eval_sents, erng = make_sentences(args.eval_n, args.seed + 2)
+    eval_sents, erng = make_sentences(args.eval_n, args.seed + 2,
+                                      args.min_words, args.max_words)
     for j, s in enumerate(eval_sents):
         write_wav(os.path.join(eval_dir, f"utt{j:04d}.wav"),
                   sentence_audio(s, erng))
@@ -261,6 +263,13 @@ def main(argv=None):
     mk.add_argument("--train-n", type=int, default=256)
     mk.add_argument("--eval-n", type=int, default=64)
     mk.add_argument("--seed", type=int, default=0)
+    mk.add_argument("--min-words", type=int, default=40)
+    mk.add_argument("--max-words", type=int, default=88,
+                    help="words per sentence; the default fills most of the "
+                    "30 s window (0.3 s/word). Sparse sentences (the first "
+                    "cut used 3-8 words = ~2 s of signal in 30 s) starve "
+                    "cross-attention of alignment supervision and the model "
+                    "memorizes instead of learning word acoustics")
     mk.add_argument("--tpu", action="store_true",
                     help="run the mel frontend on the default (TPU) backend; "
                     "default is CPU — corpus generation is frontend-only and "
