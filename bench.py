@@ -59,27 +59,49 @@ def _tpu_check_gate():
     import subprocess
     import sys
 
-    from cli.tpu_check import DEFAULT_STATE_PATH, STATE_PATH_ENV
+    from cli.tpu_check import (DEFAULT_STATE_PATH, STATE_PATH_ENV,
+                               kernel_tree_digest)
 
     path = os.environ.get(STATE_PATH_ENV, DEFAULT_STATE_PATH)
+    digest = kernel_tree_digest()
     state = _read_tpu_check_state(path)
-    if state is None or not state.get("pass"):
+    # stale = the record does not vouch for the compute-path source that is
+    # about to be benchmarked (missing, failed, or recorded over different
+    # ops/models/quantization content — VERDICT r3 weak 3: a passing record
+    # from before a kernel change must NOT ride into a BENCH number)
+    stale = (state is None or not state.get("pass")
+             or state.get("kernel_digest") != digest)
+    rerun_error = None
+    if stale:
         try:  # subprocess: its jit/backend state must not pollute bench
-            subprocess.run([sys.executable, "-m", "cli.tpu_check"],
-                           capture_output=True, timeout=3600,
-                           cwd=os.path.dirname(os.path.abspath(__file__)))
-        except Exception:
-            pass
+            proc = subprocess.run(
+                [sys.executable, "-m", "cli.tpu_check"],
+                capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            if proc.returncode != 0:
+                rerun_error = (f"tpu_check exit {proc.returncode}: "
+                               f"{proc.stderr.strip()[-300:]}")
+        except Exception as e:
+            rerun_error = f"{type(e).__name__}: {e}"
         state = _read_tpu_check_state(path)
     if state is None:
         return {"status": "missing",
                 "error": f"no tpu_check record at {path} and a fresh run "
-                         "produced none"}
-    return {
-        "status": "pass" if state.get("pass") else "fail",
+                         "produced none",
+                "rerun_error": rerun_error}
+    gate = {
+        "status": "pass" if (state.get("pass")
+                             and state.get("kernel_digest") == digest)
+        else "fail",
         "git_head": state.get("git_head"),
         "age_h": round((time.time() - float(state.get("ts", 0))) / 3600.0, 1),
     }
+    if state.get("kernel_digest") != digest:
+        gate["stale_digest"] = {"record": state.get("kernel_digest"),
+                                "tree": digest}
+    if rerun_error:
+        gate["rerun_error"] = rerun_error
+    return gate
 
 BATCH = 16             # measured: bf16 10.6k audio-s/s at b16 vs 9.5k at b8;
                        # the b16 graphs are in the persistent compile cache
@@ -148,9 +170,15 @@ def main():
     # cold-compile budget down: each pipeline shape costs minutes through
     # this environment's remote-compile tunnel)
     run_pass(params16, jnp.bfloat16)               # warmup (compile)
-    elapsed16 = run_pass(params16, jnp.bfloat16)   # timed
     total_audio_s = BATCH * N_BATCHES * AUDIO_SECONDS_PER_UTT
-    audio_s_per_s_bf16 = total_audio_s / elapsed16
+    # >=3 in-process repeats: the headline is the median and the min/max
+    # spread rides the JSON line, so a machine-variance dip is
+    # self-diagnosing instead of reading as a silent regression
+    # (VERDICT r3 weak 2: r02->r03 dropped 13.7% unremarked)
+    rates = sorted(total_audio_s / run_pass(params16, jnp.bfloat16)
+                   for _ in range(3))
+    audio_s_per_s_bf16 = rates[1]
+    elapsed16 = total_audio_s / audio_s_per_s_bf16
 
     audio_s_per_s = None
     if os.environ.get("WHISPER_TPU_BENCH_FP32") == "1":
@@ -262,6 +290,8 @@ def main():
     print(json.dumps({
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(audio_s_per_s_bf16, 2),
+        "headline_spread": {"min": round(rates[0], 2),
+                            "max": round(rates[-1], 2), "n": len(rates)},
         "unit": "audio-s/s",
         "vs_baseline": round(audio_s_per_s_bf16 / baseline, 3),
         "model_gflops_per_utt": round(flops_utt / 1e9, 2),

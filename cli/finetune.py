@@ -51,6 +51,10 @@ def main(argv=None):
                     "memorizing per-utterance noise fingerprints instead "
                     "of word acoustics")
     ap.add_argument("--max-target-len", type=int, default=128)
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="also save the checkpoint every N epochs (long "
+                    "runs: lets the caller stop at convergence without "
+                    "losing the run)")
     ap.add_argument("--data-parallel", type=int, default=1)
     ap.add_argument("--model-parallel", type=int, default=1)
     ap.add_argument("--remat", action="store_true")
@@ -66,6 +70,11 @@ def main(argv=None):
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    try:  # cold TPU compiles ride a slow remote tunnel; persist them
+        jax.config.update("jax_compilation_cache_dir", "/tmp/wtpu_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -123,7 +132,10 @@ def main(argv=None):
             params, opt_state, loss = step(params, opt_state, mel, tokens, mask)
             losses.append(float(loss))
         print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
-              f"({len(losses)} steps, {time.time() - t0:.1f}s)")
+              f"({len(losses)} steps, {time.time() - t0:.1f}s)", flush=True)
+        if args.save_every and (epoch + 1) % args.save_every == 0:
+            save_checkpoint(args.output, params, cfg)
+            print(f"  checkpoint saved at epoch {epoch}", flush=True)
 
     save_checkpoint(args.output, params, cfg)
     print(f"saved fine-tuned checkpoint to {args.output}")

@@ -125,7 +125,18 @@ def main():
         "start pays the full remote compile INSIDE the serving path - "
         "measured as 37 s p95 and 504s on the first load-test batch "
         "(docs/RUNTIME.md). Empty string disables.")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the environment's "
+                    "sitecustomize pins a TPU otherwise) - CI/smoke runs")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        try:  # must precede first backend use
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     from whisper_trtllm_tpu.config import GenerationConfig, RuntimeConfig
     from whisper_trtllm_tpu.runtime import WhisperSession

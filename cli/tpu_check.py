@@ -437,6 +437,36 @@ def _git_head() -> str:
         return "unknown"
 
 
+# directories whose content the check record vouches for: a change here
+# after the record was written means the record no longer covers the code
+# that would run in a benchmark (bench.py re-runs the suite on mismatch —
+# the git_head field alone cannot catch uncommitted edits or post-record
+# commits; VERDICT r3 weak 3)
+KERNEL_TREE_DIRS = ("whisper_trtllm_tpu/ops", "whisper_trtllm_tpu/models/whisper",
+                    "whisper_trtllm_tpu/quantization")
+
+
+def kernel_tree_digest(repo_root: str | None = None) -> str:
+    """Content hash of the compute-path source the tpu_check record covers."""
+    import hashlib
+
+    root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for d in KERNEL_TREE_DIRS:
+        base = os.path.join(root, d)
+        for dirpath, dirnames, filenames in sorted(os.walk(base)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if not fn.endswith(".py"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                h.update(os.path.relpath(p, root).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", nargs="*", help="subset of check names")
@@ -492,6 +522,7 @@ def main(argv=None):
     # not overwrite/mask a failing full run's record)
     if backend == "tpu" and not args.only:
         state = {"ts": time.time(), "git_head": _git_head(),
+                 "kernel_digest": kernel_tree_digest(),
                  "pass": bool(ok), "results": report}
         path = os.environ.get(STATE_PATH_ENV, DEFAULT_STATE_PATH)
         try:

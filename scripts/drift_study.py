@@ -36,6 +36,12 @@ def main():
                     help="use a trained checkpoint (cli/finetune.py output) "
                     "instead of random weights; seeds then vary only the "
                     "audio")
+    ap.add_argument("--audio-dir", default=None,
+                    help="16 kHz PCM16 wav dir (cli/synthetic_asr eval set): "
+                    "use real in-distribution audio instead of random mels — "
+                    "with a trained checkpoint this is the only setting "
+                    "where drift is measured at a real logit margin; seeds "
+                    "then vary only the batch sampling")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +65,22 @@ def main():
 
     enc32 = jax.jit(lambda p, m: wmodel.encode(p, cfg, m))
     dec_full = jax.jit(lambda p, t, e: wmodel.decode_full(p, cfg, t, e))
+
+    audio_mels = None
+    if args.audio_dir:
+        from cli.accept import _load_audio_dir
+
+        audio_mels, _ = _load_audio_dir(args.audio_dir, cfg.num_mel_bins)
+
+    def sample_mels(rng):
+        """One (batch, 3000, M) mel batch: eval audio when --audio-dir,
+        else random noise (the random-weight worst case)."""
+        if audio_mels is not None:
+            idx = rng.integers(0, len(audio_mels), args.batch)
+            return np.asarray(audio_mels[idx], np.float32)
+        return rng.standard_normal(
+            (args.batch, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+        ).astype(np.float32) * 0.5
 
     def agree(tokens_a, lens_a, tokens_b, lens_b):
         a, b = np.asarray(tokens_a), np.asarray(tokens_b)
@@ -91,9 +113,7 @@ def main():
         rng = np.random.default_rng(1000 + seed)
 
         # teacher-forced logit drift for this replicate
-        mel = rng.standard_normal(
-            (args.batch, 2 * cfg.max_source_positions, cfg.num_mel_bins)
-        ).astype(np.float32) * 0.5
+        mel = sample_mels(rng)
         toks = rng.integers(0, cfg.vocab_size,
                             (args.batch, 16)).astype(np.int32)
         e32 = enc32(params32, jnp.asarray(mel))
@@ -110,9 +130,7 @@ def main():
         tot = {"bf16": [0.0, 0, 0], "int8kv": [0.0, 0, 0],
                "fp8kv": [0.0, 0, 0]}
         for bi in range(n_batches):
-            mel = rng.standard_normal(
-                (args.batch, 2 * cfg.max_source_positions, cfg.num_mel_bins)
-            ).astype(np.float32) * 0.5
+            mel = sample_mels(rng)
             e32 = enc32(params32, jnp.asarray(mel))
             e16 = enc32(params16, jnp.asarray(mel, jnp.bfloat16))
             t32, len32 = greedy_decode(params32, cfg, e32, gen32)
@@ -133,7 +151,8 @@ def main():
     report = {"preset": args.preset, "batch": args.batch,
               "gen_tokens": args.gen, "utts_per_seed": n_batches * args.batch,
               "seeds": args.seeds,
-              "weights": args.checkpoint or "random (fresh per seed)"}
+              "weights": args.checkpoint or "random (fresh per seed)",
+              "audio": args.audio_dir or "random mels"}
     for name in per_seed:
         v = np.asarray(per_seed[name])
         report[f"token_agreement_{name}_vs_fp32"] = {

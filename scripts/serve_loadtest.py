@@ -43,7 +43,7 @@ def wait_healthy(port: int, deadline_s: float) -> None:
     raise RuntimeError(f"daemon not healthy after {deadline_s}s")
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--wav-dir", required=True)
@@ -56,18 +56,27 @@ def main():
     ap.add_argument("--max-new-tokens", type=int, default=32)
     ap.add_argument("--startup-timeout", type=float, default=1200.0,
                     help="cold compiles ride the remote tunnel")
-    args = ap.parse_args()
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the daemon on the CPU backend (smoke tests)")
+    ap.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "bfloat16"])
+    args = ap.parse_args(argv)
 
     wavs = sorted(pathlib.Path(args.wav_dir).glob("*.wav"))
     if not wavs:
         raise FileNotFoundError(f"no wavs under {args.wav_dir}")
     blobs = [w.read_bytes() for w in wavs]
 
+    cmd = [sys.executable, "-m", "cli.serve",
+           "--checkpoint", args.checkpoint, "--port", str(args.port),
+           "--num-slots", str(args.num_slots), "--backend", args.backend,
+           "--max-new-tokens", str(args.max_new_tokens)]
+    if args.cpu:
+        cmd.append("--cpu")
+    if args.dtype:
+        cmd += ["--dtype", args.dtype]
     proc = subprocess.Popen(
-        [sys.executable, "-m", "cli.serve",
-         "--checkpoint", args.checkpoint, "--port", str(args.port),
-         "--num-slots", str(args.num_slots), "--backend", args.backend,
-         "--max-new-tokens", str(args.max_new_tokens)],
+        cmd,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )

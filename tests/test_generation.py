@@ -202,3 +202,39 @@ def test_cross_kv_layout_invariance():
         params, cfg, enc, dataclasses.replace(base, cross_kv_layout="bhdt"))
     np.testing.assert_array_equal(np.asarray(t_d), np.asarray(t_t))
     np.testing.assert_array_equal(np.asarray(l_d), np.asarray(l_t))
+
+
+def test_cross_kv_layout_square_cache_guard():
+    """When the padded encoder length equals head_dim the T-minor layout is
+    shape-undetectable (ADVICE r3): explicit bhdt must refuse instead of
+    silently corrupting attention; 'auto' must fall back to the default
+    layout and still decode identically to bhtd."""
+    import dataclasses
+
+    import pytest
+
+    from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+    from whisper_trtllm_tpu.models.whisper import init_params
+    from whisper_trtllm_tpu.models.whisper import model as wmodel
+    from whisper_trtllm_tpu.runtime.generation import greedy_decode
+
+    # d_model 32 / 4 heads -> dh=8; max_source_positions=8 -> Tc=8 == dh
+    cfg = WhisperConfig.testing(max_source_positions=8)
+    params = init_params(cfg, seed=3)
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal(
+        (1, 2 * cfg.max_source_positions, cfg.num_mel_bins)) * 0.5,
+        jnp.float32)
+    enc = wmodel.encode(params, cfg, mel)
+    assert enc.shape[1] == cfg.decoder_head_dim  # the ambiguous geometry
+
+    gen8 = GenerationConfig(max_new_tokens=6, kv_cache_dtype="int8")
+    with pytest.raises(ValueError, match="bhdt"):
+        greedy_decode(params, cfg, enc,
+                      dataclasses.replace(gen8, cross_kv_layout="bhdt"))
+
+    t_auto, l_auto = greedy_decode(params, cfg, enc, gen8)  # auto: no-op
+    t_ref, l_ref = greedy_decode(
+        params, cfg, enc, dataclasses.replace(gen8, cross_kv_layout="bhtd"))
+    np.testing.assert_array_equal(np.asarray(t_auto), np.asarray(t_ref))
+    np.testing.assert_array_equal(np.asarray(l_auto), np.asarray(l_ref))

@@ -41,14 +41,24 @@ def test_state_file_written_only_on_full_tpu_runs(tmp_path, monkeypatch,
     capsys.readouterr()
     assert not state.exists()  # subset run: no state written
 
-    # bench gate surfaces a failed state without rerunning (subprocess is
-    # only attempted when missing/failed — simulate failed)
+    # bench gate accepts a passing record ONLY when its kernel digest
+    # matches the current tree (round 4: a digest-less or mismatched
+    # record is stale and triggers a re-run — tests/test_bench_gate.py
+    # covers the full matrix; here just pin the fresh-record fast path)
+    import subprocess
+
     import bench
 
     state.write_text(json.dumps(
-        {"ts": 0, "git_head": "abc", "pass": True}))
+        {"ts": 0, "git_head": "abc", "pass": True,
+         "kernel_digest": tpu_check.kernel_tree_digest()}))
+    calls = []
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: calls.append(a) or (_ for _ in ()).throw(
+                            AssertionError("unexpected re-run")))
     out = bench._tpu_check_gate()
     assert out["status"] == "pass" and out["git_head"] == "abc"
+    assert not calls
 
     monkeypatch.setenv("WHISPER_TPU_BENCH_SKIP_CHECK", "1")
     assert bench._tpu_check_gate() == {"status": "skipped (env)"}

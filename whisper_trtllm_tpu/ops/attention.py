@@ -227,7 +227,11 @@ def mha_decode_step(
         pos_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
         vl = valid_len[:, None, None, None] if per_lane else valid_len
         scores = jnp.where(pos_ids < vl, scores, jnp.float32(-1e9))
-        if fp32_softmax:
+        if fp32_softmax or k_scale is not None:
+            # quantized caches always use fp32 softmax so layout invariance
+            # (T-minor == dh-minor, tests/test_realdim_parity.py) holds at
+            # every fp32_softmax value — the quantized dh-minor path below
+            # is unconditionally fp32
             weights = jax.nn.softmax(scores, axis=-1)
         else:
             weights = jax.nn.softmax(scores.astype(q.dtype), axis=-1)

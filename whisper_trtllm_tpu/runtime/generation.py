@@ -49,6 +49,20 @@ def apply_cross_layout(cross_kv, layout: str):
             f"cross_kv_layout must be auto|bhtd|bhdt, got {layout!r}")
     quantized = len(cross_kv) == 4
     if layout == "bhdt" or (layout == "auto" and quantized):
+        k = cross_kv[0]
+        if k.shape[-2] == k.shape[-1]:
+            # square (Tc == dh) caches: the shape-based layout detection in
+            # cross_kv_t_major cannot tell T-minor from dh-minor, so a
+            # transpose here would be silently misread downstream as the
+            # default layout and produce wrong attention output. Only toy
+            # configs hit this (real presets have Tc=1500 >> dh); refuse
+            # rather than corrupt.
+            if layout == "bhdt":
+                raise ValueError(
+                    "cross_kv_layout='bhdt' is unsupported when the padded "
+                    f"encoder length equals head_dim ({k.shape[-2]}): the "
+                    "T-minor layout would be undetectable from shapes")
+            return cross_kv  # auto: keep the unambiguous default layout
         return wmodel.transpose_cross_kv(cross_kv)
     return cross_kv
 

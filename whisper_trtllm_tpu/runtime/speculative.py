@@ -38,6 +38,9 @@ class SpecState(NamedTuple):
     finished: jnp.ndarray   # scalar bool
     t_self: tuple           # target self-KV (k, v)
     d_self: tuple           # draft self-KV
+    rounds: jnp.ndarray     # scalar i32 — speculation rounds executed (the
+    #                         acceptance-rate denominator: each round costs
+    #                         gamma draft steps + 1 target chunk pass)
 
 
 def _apply_masks(logits, positions, suppress, begin_mask, begin_index):
@@ -84,7 +87,7 @@ def _compiled_speculative(
                 d_params, d_cfg, prompt[:, :-1], jnp.int32(0), d_self, d_cross)
 
         state = SpecState(tokens, jnp.int32(prompt_len - 1),
-                          jnp.asarray(False), t_self, d_self)
+                          jnp.asarray(False), t_self, d_self, jnp.int32(0))
 
         def cond(s: SpecState):
             return jnp.logical_and(s.pos < max_len - gamma - 1, ~s.finished)
@@ -138,11 +141,12 @@ def _compiled_speculative(
             eos_hit = jnp.logical_and(in_range, accepted == t_cfg.eos_token_id)
             first_eos_off = jnp.argmax(eos_hit)
             new_pos = jnp.where(finished, s.pos + 1 + first_eos_off, new_pos)
-            return SpecState(tokens, new_pos, finished, t_self, d_self)
+            return SpecState(tokens, new_pos, finished, t_self, d_self,
+                             s.rounds + 1)
 
         final = jax.lax.while_loop(cond, body, state)
         length = final.pos + 1
-        return final.tokens, length
+        return final.tokens, length, final.rounds
 
     return jax.jit(fn)
 
@@ -155,14 +159,22 @@ def speculative_transcribe_tokens(
     mel: jnp.ndarray,
     gen: Optional[GenerationConfig] = None,
     gamma: int = 4,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_stats: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """mel (1, 3000, M) → (tokens (1, max_len), length). The token stream is
-    identical to the target's plain greedy decode."""
+    identical to the target's plain greedy decode. ``with_stats=True`` also
+    returns the speculation-round count, from which mean acceptance follows:
+    accepted/round = (length - prompt_len)/rounds - 1 (each round emits the
+    accepted prefix plus the target's bonus token), acceptance rate =
+    accepted/(gamma * rounds)."""
     gen = gen or GenerationConfig()
     assert mel.shape[0] == 1, "speculative decoding is a batch-1 latency path"
     max_len = min(target_cfg.max_target_positions, gen.max_new_tokens + 1)
     t_enc = wmodel.encode(target_params, target_cfg, mel)
     d_enc = wmodel.encode(draft_params, draft_cfg, mel)
-    return _compiled_speculative(target_cfg, draft_cfg, max_len, gamma)(
-        target_params, draft_params, t_enc, d_enc
-    )
+    tokens, length, rounds = _compiled_speculative(
+        target_cfg, draft_cfg, max_len, gamma
+    )(target_params, draft_params, t_enc, d_enc)
+    if with_stats:
+        return tokens, length, rounds
+    return tokens, length
