@@ -51,6 +51,18 @@ def main(argv=None):
                     "memorizing per-utterance noise fingerprints instead "
                     "of word acoustics")
     ap.add_argument("--max-target-len", type=int, default=128)
+    ap.add_argument("--guided-attn", type=float, default=0.0,
+                    help="guided cross-attention LOSS scale (synthetic "
+                    "corpus only: the true monotonic alignment is known; "
+                    "TTS-style attention-mass penalty, training/train.py::"
+                    "guided_attn_weights — the gradient flows into q/k so "
+                    "the alignment survives the prior's removal). 0 "
+                    "disables")
+    ap.add_argument("--guided-attn-anneal", type=int, default=4,
+                    help="linearly anneal the guided-attention weight to 0 "
+                    "over this many epochs, so later epochs (and inference, "
+                    "which never sees the bias) run on internalized "
+                    "alignment")
     ap.add_argument("--save-every", type=int, default=0,
                     help="also save the checkpoint every N epochs (long "
                     "runs: lets the caller stop at convergence without "
@@ -108,8 +120,19 @@ def main(argv=None):
     )
     opt_state = init_opt(params)
 
+    from whisper_trtllm_tpu.training import guided_attn_weights
+
+    ga_w = (guided_attn_weights(args.max_target_len - 1,
+                                cfg.max_source_positions)
+            if args.guided_attn > 0 else None)
+
     aug_rng = np.random.default_rng(12345)
     for epoch in range(args.epochs):
+        gw = args.guided_attn * max(
+            0.0, 1.0 - epoch / max(args.guided_attn_anneal, 1))
+        epoch_ga_w = ga_w if gw > 0 else None
+        ga_scale = (jax.numpy.asarray(gw, jax.numpy.float32)
+                    if gw > 0 else None)
         perm = np.random.default_rng(epoch).permutation(n)
         losses = []
         t0 = time.time()
@@ -129,10 +152,13 @@ def main(argv=None):
                 mel = jax.device_put(mel, ds)
                 tokens = jax.device_put(tokens, ds)
                 mask = jax.device_put(mask, ds)
-            params, opt_state, loss = step(params, opt_state, mel, tokens, mask)
+            params, opt_state, loss = step(params, opt_state, mel, tokens,
+                                           mask, None, epoch_ga_w, ga_scale)
             losses.append(float(loss))
         print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
-              f"({len(losses)} steps, {time.time() - t0:.1f}s)", flush=True)
+              f"({len(losses)} steps, {time.time() - t0:.1f}s"
+              + (f", guided-attn {gw:.3f}" if args.guided_attn else "")
+              + ")", flush=True)
         if args.save_every and (epoch + 1) % args.save_every == 0:
             save_checkpoint(args.output, params, cfg)
             print(f"  checkpoint saved at epoch {epoch}", flush=True)

@@ -200,8 +200,10 @@ def encode(params: dict, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
 
 def _decoder_layer_full(
     lp: dict, x: jnp.ndarray, enc_states: jnp.ndarray, heads: int,
-    flash_cross: bool = False,
-) -> jnp.ndarray:
+    flash_cross: bool = False, cross_bias: Optional[jnp.ndarray] = None,
+    ga_weights: Optional[jnp.ndarray] = None,
+    ga_row_mask: Optional[jnp.ndarray] = None,
+):
     h = layer_norm(lp["self_attn_layer_norm"], x)
     q, k, v = attention_qkv(lp["self_attn"], h, None, heads)
     a = merge_heads(mha(q, k, v, causal=True))
@@ -209,12 +211,34 @@ def _decoder_layer_full(
 
     h = layer_norm(lp["encoder_attn_layer_norm"], x)
     q, k, v = attention_qkv(lp["encoder_attn"], h, enc_states, heads)
-    a = merge_heads(mha(q, k, v, causal=False, use_flash=flash_cross))
+    ga_pen = jnp.float32(0.0)
+    if ga_weights is not None:
+        # guided-attention LOSS (Tachibana et al. 2017): penalize cross-attn
+        # probability mass far from the known word slot. Unlike an additive
+        # score bias (which routes position information AROUND q.k so the
+        # projections never learn it and inference collapses when the bias
+        # is absent — measured: biased-training CE 0.0065, unbiased eval
+        # garbage), the loss's gradient flows INTO q/k, so the monotonic
+        # alignment is internalized and survives the prior's removal.
+        scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                            preferred_element_type=jnp.float32)
+        if cross_bias is not None:
+            scores = scores + cross_bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        pen_rows = jnp.sum(probs * ga_weights[None, None], axis=-1)  # B,H,S
+        rm = ga_row_mask[:, None, :]
+        ga_pen = jnp.sum(pen_rows * rm) / jnp.maximum(
+            jnp.sum(rm) * heads, 1.0)
+        a = merge_heads(jnp.einsum(
+            "bhst,bhtd->bhsd", probs.astype(v.dtype), v))
+    else:
+        a = merge_heads(mha(q, k, v, mask=cross_bias, causal=False,
+                            use_flash=flash_cross and cross_bias is None))
     x = x + dense(lp["encoder_attn"]["out"], a)
 
     h = layer_norm(lp["final_layer_norm"], x)
     x = x + mlp_block(lp, h)
-    return x
+    return x, ga_pen
 
 
 def decode_full(
@@ -223,7 +247,10 @@ def decode_full(
     tokens: jnp.ndarray,
     enc_states: jnp.ndarray,
     flash_cross: bool = False,
-) -> jnp.ndarray:
+    cross_bias: Optional[jnp.ndarray] = None,
+    ga_weights: Optional[jnp.ndarray] = None,
+    ga_row_mask: Optional[jnp.ndarray] = None,
+):
     """Teacher-forced decoder forward: tokens (B, S) → logits (B, S, V).
 
     ``flash_cross`` controls the cross-attention lowering: False (default)
@@ -231,7 +258,16 @@ def decode_full(
     path on TPU (the CLAUDE.md invariant; mha_decode_step has no flash
     variant — flash accumulates P@V in fp32, the step path in the compute
     dtype). Training sets True to run the fused flash kernel with its
-    custom-VJP backward (training/train.py)."""
+    custom-VJP backward (training/train.py).
+
+    ``cross_bias``: optional additive cross-attention score bias
+    broadcastable to (B, H, S, T) — the guided-attention location prior
+    used by synthetic-corpus training (training/train.py; TTS-style
+    monotonic prior, annealed to zero). Inference paths never pass it.
+
+    ``ga_weights`` (S, T) + ``ga_row_mask`` (B, S): guided-attention LOSS
+    penalty weights (training/train.py::guided_attn_weights). When given,
+    returns (logits, mean per-layer attention penalty) instead of logits."""
     dec = params["decoder"]
     s = tokens.shape[1]
     x = embedding(dec["embed_tokens"], tokens, dtype=enc_states.dtype)
@@ -240,12 +276,17 @@ def decode_full(
     heads = cfg.decoder_attention_heads
 
     def body(carry, lp):
-        return _decoder_layer_full(lp, carry, enc_states, heads,
-                                   flash_cross), None
+        nxt, pen = _decoder_layer_full(lp, carry, enc_states, heads,
+                                       flash_cross, cross_bias,
+                                       ga_weights, ga_row_mask)
+        return nxt, pen
 
-    x, _ = jax.lax.scan(body, x, dec["layers"])
+    x, pens = jax.lax.scan(body, x, dec["layers"])
     x = layer_norm(dec["layer_norm"], x)
-    return _vocab_logits(dec, x)
+    logits = _vocab_logits(dec, x)
+    if ga_weights is not None:
+        return logits, jnp.mean(pens)
+    return logits
 
 
 # --------------------------------------------------------------------------
