@@ -33,6 +33,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=48)
+    ap.add_argument("--layers", type=int, default=24,
+                    help="24 = medium.en; 32 = large-v3")
+    ap.add_argument("--heads", type=int, default=16,
+                    help="16 = medium.en; 20 = large-v3")
     args = ap.parse_args()
 
     import jax
@@ -43,7 +47,7 @@ def main():
 
     from whisper_trtllm_tpu.ops.attention import mha_decode_step, quantize_kv
 
-    L, H, DH, T = 24, 16, 64, 1500
+    L, H, DH, T = args.layers, args.heads, 64, 1500
     B, N = args.batch, args.iters
     rng = np.random.default_rng(0)
 
