@@ -218,20 +218,32 @@ class InflightBatcher:
 
     # -- internals ------------------------------------------------------------
     def _retire_and_admit(self) -> None:
-        finished = np.asarray(self.state.finished)
-        active = np.asarray(self.state.active)
-        tokens = None
-        for lane in range(self.num_lanes):
-            if active[lane] and finished[lane] and self._lane_req[lane] is not None:
-                if tokens is None:
-                    tokens = np.asarray(self.state.tokens)
-                    pos = np.asarray(self.state.pos)
+        # one packed D2H sync window for the per-iteration host decision
+        # (not one np.asarray per array): on transports with high fixed
+        # round-trip latency (this environment's ~24 ms dev tunnel) the
+        # per-iteration sync count — not bytes — sets the serving
+        # scheduler's pace; measured as the ifb backend's load-test
+        # pathology (docs/RUNTIME.md round-4 table)
+        import jax
+
+        finished, active = jax.device_get(
+            (self.state.finished, self.state.active))
+        retire = [lane for lane in range(self.num_lanes)
+                  if active[lane] and finished[lane]
+                  and self._lane_req[lane] is not None]
+        if retire:
+            tokens, pos = jax.device_get((self.state.tokens, self.state.pos))
+            keep = np.ones((self.num_lanes,), bool)
+            for lane in retire:
                 row = tokens[lane, : pos[lane] + 1]
                 self._results[self._lane_req[lane]] = row
                 self._lane_req[lane] = None
-                self.state = self.state._replace(
-                    active=self.state.active.at[lane].set(False)
-                )
+                keep[lane] = False
+            # single batched deactivation instead of one .at[].set dispatch
+            # per retired lane
+            self.state = self.state._replace(
+                active=self.state.active & jnp.asarray(keep)
+            )
         for lane in range(self.num_lanes):
             if self._lane_req[lane] is None and self._queue:
                 rid, mel = self._queue.popleft()
