@@ -136,7 +136,12 @@ class InflightBatcher:
     ):
         gen = generation or GenerationConfig()
         self.cfg = cfg
-        self.params = params
+        # pin weights on device: callers (cli/serve.py hands over raw
+        # checkpoint numpy) must not leave them host-resident, or EVERY
+        # _segment dispatch re-uploads the full weight tree — measured as
+        # 5.5 s/segment (vs 0.044 s device-resident) behind the 45 MB/s
+        # dev tunnel, the entire round-4 ifb load-test pathology
+        self.params = jax.device_put(params)
         self.num_lanes = num_lanes
         self.segment_steps = segment_steps
         self.max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)

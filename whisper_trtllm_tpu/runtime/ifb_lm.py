@@ -72,7 +72,9 @@ class CausalLMInflightBatcher:
         if max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1 (the admit-time "
                              "first-token write needs one slot per request)")
-        self.params = params
+        # device-resident weights (host numpy here re-uploads the tree on
+        # every segment dispatch — see runtime/ifb.py)
+        self.params = jax.device_put(params)
         self.cfg = cfg
         self.eos = int(eos_token_id)
         self.num_lanes = num_lanes

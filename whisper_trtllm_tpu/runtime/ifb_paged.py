@@ -77,7 +77,9 @@ class PagedCausalLMInflightBatcher:
     ):
         if max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
-        self.params = params
+        # device-resident weights (host numpy here re-uploads the tree on
+        # every segment dispatch — see runtime/ifb.py)
+        self.params = jax.device_put(params)
         self.cfg = cfg
         self.eos = int(eos_token_id)
         self.num_lanes = num_lanes
