@@ -93,3 +93,18 @@ def test_ifb_server_backend(setup, rng):
         assert rid in got
         expect = ref_tokens[i, : ref_lens[i]]
         np.testing.assert_array_equal(np.asarray(got[rid])[: len(expect)], expect)
+
+
+def test_batcher_pins_weights_on_device(setup):
+    """Regression for the round-4 17x serving bug: a batcher constructed
+    with HOST numpy weights must hold jax.Array leaves, or every segment
+    dispatch re-uploads the whole weight tree (cli/serve.py passes raw
+    checkpoint numpy)."""
+    import jax
+
+    cfg, params = setup
+    host_params = jax.tree_util.tree_map(np.asarray, params)  # force numpy
+    b = InflightBatcher(host_params, cfg,
+                        GenerationConfig(max_new_tokens=4), num_lanes=2)
+    leaves = jax.tree_util.tree_leaves(b.params)
+    assert leaves and all(isinstance(l, jax.Array) for l in leaves)
