@@ -122,8 +122,10 @@ def main(argv=None):
 
     from whisper_trtllm_tpu.training import guided_attn_weights
 
-    ga_w = (guided_attn_weights(args.max_target_len - 1,
-                                cfg.max_source_positions)
+    # device-resident once: passing host numpy would re-upload the
+    # (S-1, 1500) matrix on every training step
+    ga_w = (jax.device_put(guided_attn_weights(args.max_target_len - 1,
+                                               cfg.max_source_positions))
             if args.guided_attn > 0 else None)
 
     aug_rng = np.random.default_rng(12345)
@@ -153,7 +155,7 @@ def main(argv=None):
                 tokens = jax.device_put(tokens, ds)
                 mask = jax.device_put(mask, ds)
             params, opt_state, loss = step(params, opt_state, mel, tokens,
-                                           mask, None, epoch_ga_w, ga_scale)
+                                           mask, epoch_ga_w, ga_scale)
             losses.append(float(loss))
         print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
               f"({len(losses)} steps, {time.time() - t0:.1f}s"

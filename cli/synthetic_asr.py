@@ -211,19 +211,17 @@ def cmd_make(args):
     # decoder memorize the rest — train loss 0.13 with garbage eval
     # transcripts; thousands of utterances make audio alignment the only
     # way down) need the frontend driven in batches, not per-utterance
-    import jax.numpy as jnp
-
-    from whisper_trtllm_tpu.audio.features import LogMelSpectrogram
-
-    frontend = LogMelSpectrogram(cfg.num_mel_bins)
-    mel_jit = frontend.jit()
     train = []
     CHUNK = 32
     for c0 in range(0, len(train_sents), CHUNK):
         chunk = train_sents[c0:c0 + CHUNK]
         audio = np.stack([pad_or_trim(sentence_audio(s, rng))
                           for s in chunk])
-        mels = np.asarray(mel_jit(jnp.asarray(audio)), np.float32)
+        # log_mel_spectrogram accepts (B, samples) and caches its jitted
+        # frontend module-wide — no second frontend instance needed
+        mels = np.asarray(
+            log_mel_spectrogram(audio, num_mel_bins=cfg.num_mel_bins),
+            np.float32)
         for s, mel in zip(chunk, mels):
             ids = [sot, notime] + [WORD_ID_BASE + i for i in s] \
                 + [cfg.eos_token_id]

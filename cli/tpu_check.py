@@ -443,7 +443,11 @@ def _git_head() -> str:
 # the git_head field alone cannot catch uncommitted edits or post-record
 # commits; VERDICT r3 weak 3)
 KERNEL_TREE_DIRS = ("whisper_trtllm_tpu/ops", "whisper_trtllm_tpu/models/whisper",
-                    "whisper_trtllm_tpu/quantization")
+                    "whisper_trtllm_tpu/quantization",
+                    # the suite also exercises the decode loops, beam path
+                    # and STFT frontend — changes there must invalidate the
+                    # record too (round-4 review finding)
+                    "whisper_trtllm_tpu/runtime", "whisper_trtllm_tpu/audio")
 
 
 def kernel_tree_digest(repo_root: str | None = None) -> str:

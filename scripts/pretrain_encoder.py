@@ -117,9 +117,13 @@ def main():
     # only the encoder subtree (+ head) trains; adam (not adamw) so the
     # frozen decoder is bit-identical after pretraining
     def mask_tree(st):
+        # match the TOP-LEVEL "encoder" subtree only: a substring test on
+        # the whole path also catches decoder/layers/encoder_attn (the
+        # decoder's cross-attention), violating the frozen-decoder
+        # guarantee the moment this loss ever touches the decoder
         return {
             "params": jax.tree_util.tree_map_with_path(
-                lambda p, _: "encoder" in "/".join(str(x) for x in p),
+                lambda p, _: getattr(p[0], "key", None) == "encoder",
                 st["params"]),
             "head": jax.tree_util.tree_map(lambda _: True, st["head"]),
         }

@@ -110,13 +110,13 @@ def main():
         lens = []
         t0 = time.perf_counter()
         for i, m in enumerate(mels):
-            toks, length, rounds = speculative_transcribe_tokens(
+            toks, length, rounds, accepted = speculative_transcribe_tokens(
                 t_params, t_cfg, d_params, d_cfg, m, gen, gamma=gamma,
                 with_stats=True)
             L = int(np.asarray(length)[0] if np.ndim(length) else length)
             R = int(np.asarray(rounds))
             lens.append(L)
-            acc_tok += max(L - prompt_len - R, 0)   # accepted draft tokens
+            acc_tok += int(np.asarray(accepted))    # exact in-loop count
             acc_rounds += R
             exact += int(L == glens[i]
                          and np.array_equal(np.asarray(toks)[0, :L], gtoks[i]))

@@ -200,7 +200,7 @@ def encode(params: dict, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
 
 def _decoder_layer_full(
     lp: dict, x: jnp.ndarray, enc_states: jnp.ndarray, heads: int,
-    flash_cross: bool = False, cross_bias: Optional[jnp.ndarray] = None,
+    flash_cross: bool = False,
     ga_weights: Optional[jnp.ndarray] = None,
     ga_row_mask: Optional[jnp.ndarray] = None,
 ):
@@ -214,16 +214,15 @@ def _decoder_layer_full(
     ga_pen = jnp.float32(0.0)
     if ga_weights is not None:
         # guided-attention LOSS (Tachibana et al. 2017): penalize cross-attn
-        # probability mass far from the known word slot. Unlike an additive
-        # score bias (which routes position information AROUND q.k so the
-        # projections never learn it and inference collapses when the bias
-        # is absent — measured: biased-training CE 0.0065, unbiased eval
-        # garbage), the loss's gradient flows INTO q/k, so the monotonic
-        # alignment is internalized and survives the prior's removal.
+        # probability mass far from the known word slot. An additive score
+        # bias was tried first and REJECTED with measurements (it routes
+        # position information AROUND q.k so the projections never learn
+        # it: biased-training CE 0.0065, unbiased eval garbage — round-4
+        # commit trail); the loss's gradient flows INTO q/k, so the
+        # monotonic alignment is internalized and survives the prior's
+        # removal.
         scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
                             preferred_element_type=jnp.float32)
-        if cross_bias is not None:
-            scores = scores + cross_bias
         probs = jax.nn.softmax(scores, axis=-1)
         pen_rows = jnp.sum(probs * ga_weights[None, None], axis=-1)  # B,H,S
         rm = ga_row_mask[:, None, :]
@@ -232,8 +231,7 @@ def _decoder_layer_full(
         a = merge_heads(jnp.einsum(
             "bhst,bhtd->bhsd", probs.astype(v.dtype), v))
     else:
-        a = merge_heads(mha(q, k, v, mask=cross_bias, causal=False,
-                            use_flash=flash_cross and cross_bias is None))
+        a = merge_heads(mha(q, k, v, causal=False, use_flash=flash_cross))
     x = x + dense(lp["encoder_attn"]["out"], a)
 
     h = layer_norm(lp["final_layer_norm"], x)
@@ -247,7 +245,6 @@ def decode_full(
     tokens: jnp.ndarray,
     enc_states: jnp.ndarray,
     flash_cross: bool = False,
-    cross_bias: Optional[jnp.ndarray] = None,
     ga_weights: Optional[jnp.ndarray] = None,
     ga_row_mask: Optional[jnp.ndarray] = None,
 ):
@@ -260,14 +257,10 @@ def decode_full(
     dtype). Training sets True to run the fused flash kernel with its
     custom-VJP backward (training/train.py).
 
-    ``cross_bias``: optional additive cross-attention score bias
-    broadcastable to (B, H, S, T) — the guided-attention location prior
-    used by synthetic-corpus training (training/train.py; TTS-style
-    monotonic prior, annealed to zero). Inference paths never pass it.
-
     ``ga_weights`` (S, T) + ``ga_row_mask`` (B, S): guided-attention LOSS
-    penalty weights (training/train.py::guided_attn_weights). When given,
-    returns (logits, mean per-layer attention penalty) instead of logits."""
+    penalty weights (training/train.py::guided_attn_weights, training-time
+    only — inference paths never pass them). When given, returns
+    (logits, mean per-layer attention penalty) instead of logits."""
     dec = params["decoder"]
     s = tokens.shape[1]
     x = embedding(dec["embed_tokens"], tokens, dtype=enc_states.dtype)
@@ -277,8 +270,7 @@ def decode_full(
 
     def body(carry, lp):
         nxt, pen = _decoder_layer_full(lp, carry, enc_states, heads,
-                                       flash_cross, cross_bias,
-                                       ga_weights, ga_row_mask)
+                                       flash_cross, ga_weights, ga_row_mask)
         return nxt, pen
 
     x, pens = jax.lax.scan(body, x, dec["layers"])

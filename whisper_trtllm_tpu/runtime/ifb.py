@@ -179,6 +179,11 @@ class InflightBatcher:
         self._lane_req: List[Optional[int]] = [None] * num_lanes
         self._results: Dict[int, np.ndarray] = {}
         self._next_id = 1
+        # built eagerly: a lazy hasattr-init under concurrent first
+        # requests races N threads into N duplicate frontend traces
+        from whisper_trtllm_tpu.audio.features import LogMelSpectrogram
+
+        self._frontend = LogMelSpectrogram(cfg.num_mel_bins)
 
     # -- public ---------------------------------------------------------------
     def submit(self, mel: np.ndarray) -> int:
@@ -191,21 +196,19 @@ class InflightBatcher:
         self._queue.append((rid, mel))
         return rid
 
-    def submit_audio(self, audio: np.ndarray) -> int:
-        """Raw 16 kHz audio (any length ≤ 30 s; padded/trimmed) → request id.
-        Runs the on-device log-mel frontend."""
-        from whisper_trtllm_tpu.audio.features import (
-            LogMelSpectrogram, pad_or_trim,
-        )
+    def compute_mel(self, audio: np.ndarray) -> np.ndarray:
+        """Raw 16 kHz audio (any length ≤ 30 s; padded/trimmed) → (1, T, M)
+        mel via the on-device frontend. Thread-safe after construction
+        (the frontend is built in __init__, jax dispatch is thread-safe) —
+        the serving layer calls this OUTSIDE its scheduler lock."""
+        from whisper_trtllm_tpu.audio.features import pad_or_trim
 
-        if not hasattr(self, "_frontend"):
-            self._frontend = LogMelSpectrogram(self.cfg.num_mel_bins)
-        mel = np.asarray(
-            self._frontend.jit()(
-                jnp.asarray(pad_or_trim(np.asarray(audio, np.float32))[None])
-            )
-        )
-        return self.submit(mel)
+        return np.asarray(self._frontend.jit()(
+            jnp.asarray(pad_or_trim(np.asarray(audio, np.float32))[None])))
+
+    def submit_audio(self, audio: np.ndarray) -> int:
+        """Raw audio → request id (frontend + submit)."""
+        return self.submit(self.compute_mel(audio))
 
     def fetch(self, request_id: int) -> Optional[np.ndarray]:
         return self._results.pop(request_id, None)

@@ -78,19 +78,8 @@ class IfbTranscriptionServer:
     def submit(self, audio: np.ndarray) -> int:
         # mel frontend OUTSIDE the lock: it costs a device round-trip, and
         # holding the scheduler lock across it serializes every concurrent
-        # client behind the decode loop (round-4 load test finding); jax
-        # dispatch itself is thread-safe
-        from whisper_trtllm_tpu.audio.features import (
-            LogMelSpectrogram, pad_or_trim,
-        )
-
-        if not hasattr(self.batcher, "_frontend"):
-            self.batcher._frontend = LogMelSpectrogram(
-                self.batcher.cfg.num_mel_bins)
-        import jax.numpy as jnp
-
-        mel = np.asarray(self.batcher._frontend.jit()(
-            jnp.asarray(pad_or_trim(np.asarray(audio, np.float32))[None])))
+        # client behind the decode loop (round-4 load test finding)
+        mel = self.batcher.compute_mel(audio)
         with self._lock:
             return self.batcher.submit(mel)
 

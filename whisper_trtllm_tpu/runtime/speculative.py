@@ -41,6 +41,10 @@ class SpecState(NamedTuple):
     rounds: jnp.ndarray     # scalar i32 — speculation rounds executed (the
     #                         acceptance-rate denominator: each round costs
     #                         gamma draft steps + 1 target chunk pass)
+    accepted: jnp.ndarray   # scalar i32 — draft proposals accepted across
+    #                         rounds (exact, incl. EOS-truncated final
+    #                         rounds where length-based accounting
+    #                         undercounts)
 
 
 def _apply_masks(logits, positions, suppress, begin_mask, begin_index):
@@ -87,7 +91,8 @@ def _compiled_speculative(
                 d_params, d_cfg, prompt[:, :-1], jnp.int32(0), d_self, d_cross)
 
         state = SpecState(tokens, jnp.int32(prompt_len - 1),
-                          jnp.asarray(False), t_self, d_self, jnp.int32(0))
+                          jnp.asarray(False), t_self, d_self, jnp.int32(0),
+                          jnp.int32(0))
 
         def cond(s: SpecState):
             return jnp.logical_and(s.pos < max_len - gamma - 1, ~s.finished)
@@ -142,11 +147,11 @@ def _compiled_speculative(
             first_eos_off = jnp.argmax(eos_hit)
             new_pos = jnp.where(finished, s.pos + 1 + first_eos_off, new_pos)
             return SpecState(tokens, new_pos, finished, t_self, d_self,
-                             s.rounds + 1)
+                             s.rounds + 1, s.accepted + n_acc)
 
         final = jax.lax.while_loop(cond, body, state)
         length = final.pos + 1
-        return final.tokens, length, final.rounds
+        return final.tokens, length, final.rounds, final.accepted
 
     return jax.jit(fn)
 
@@ -163,18 +168,18 @@ def speculative_transcribe_tokens(
 ) -> Tuple[jnp.ndarray, ...]:
     """mel (1, 3000, M) → (tokens (1, max_len), length). The token stream is
     identical to the target's plain greedy decode. ``with_stats=True`` also
-    returns the speculation-round count, from which mean acceptance follows:
-    accepted/round = (length - prompt_len)/rounds - 1 (each round emits the
-    accepted prefix plus the target's bonus token), acceptance rate =
-    accepted/(gamma * rounds)."""
+    returns (rounds, accepted): the speculation-round count and the exact
+    number of accepted draft proposals (counted in-loop — length-based
+    accounting undercounts on EOS-truncated final rounds); acceptance rate
+    = accepted/(gamma * rounds)."""
     gen = gen or GenerationConfig()
     assert mel.shape[0] == 1, "speculative decoding is a batch-1 latency path"
     max_len = min(target_cfg.max_target_positions, gen.max_new_tokens + 1)
     t_enc = wmodel.encode(target_params, target_cfg, mel)
     d_enc = wmodel.encode(draft_params, draft_cfg, mel)
-    tokens, length, rounds = _compiled_speculative(
+    tokens, length, rounds, accepted = _compiled_speculative(
         target_cfg, draft_cfg, max_len, gamma
     )(target_params, draft_params, t_enc, d_enc)
     if with_stats:
-        return tokens, length, rounds
+        return tokens, length, rounds, accepted
     return tokens, length

@@ -1,6 +1,5 @@
 from whisper_trtllm_tpu.training.train import (  # noqa: F401
     cross_entropy_loss,
     guided_attn_weights,
-    guided_cross_bias,
     make_train_step,
 )

@@ -24,35 +24,31 @@ def cross_entropy_loss(
     mel: jnp.ndarray,
     tokens: jnp.ndarray,
     loss_mask: jnp.ndarray,
-    cross_bias: Optional[jnp.ndarray] = None,
     ga_weights: Optional[jnp.ndarray] = None,
     ga_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """mel (B, T, M); tokens (B, S) incl. decoder_start; loss_mask (B, S-1)
-    marks the target positions that count. ``cross_bias`` (S-1, T_enc):
-    optional guided-attention location prior added to cross-attention
-    scores (training-time only — see guided_cross_bias). ``ga_weights``
-    (S-1, T_enc) + ``ga_scale`` (scalar array): guided-attention LOSS —
-    adds ga_scale * mean cross-attention mass outside the known word slots
+    marks the target positions that count. ``ga_weights`` (S-1, T_enc) +
+    ``ga_scale`` (scalar array): guided-attention LOSS — adds
+    ga_scale * mean cross-attention mass outside the known word slots
     (guided_attn_weights); the gradient flows into the q/k projections, so
-    the monotonic alignment is internalized (unlike the score bias)."""
+    the monotonic alignment is internalized. (An additive score BIAS was
+    tried and rejected with measurements — round-4 commit trail: it routes
+    position information around q/k and inference collapses without it.)"""
     # The only kernel on the teacher-forced path is flash_mha (encoder
     # self-attn + decoder cross-attn via flash_cross=True), which defines a
     # custom VJP — training runs straight through the fused kernel; no
     # pallas_disabled() needed. Inference decode_full defaults to
     # flash_cross=False for bitwise parity with decode_step.
     enc = wmodel.encode(params, cfg, mel)
-    mask = loss_mask
     if ga_weights is not None:
         logits, ga_pen = wmodel.decode_full(
             params, cfg, tokens[:, :-1], enc, flash_cross=True,
-            cross_bias=cross_bias, ga_weights=ga_weights,
-            ga_row_mask=loss_mask)
+            ga_weights=ga_weights, ga_row_mask=loss_mask)
     else:
         ga_pen = None
         logits = wmodel.decode_full(params, cfg, tokens[:, :-1], enc,
-                                    flash_cross=True,
-                                    cross_bias=cross_bias)  # fp32
+                                    flash_cross=True)  # fp32
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
@@ -61,39 +57,6 @@ def cross_entropy_loss(
     if ga_pen is not None:
         loss = loss + (ga_scale if ga_scale is not None else 1.0) * ga_pen
     return loss
-
-
-def guided_cross_bias(
-    seq_len: int,
-    enc_len: int,
-    weight: float,
-    sigma: float = 10.0,  # word slots are 15 positions apart: at weight 1
-    #                       a neighboring slot costs ~2.3 nats, the right
-    #                       slot's own ±6-position span stays within 1 sigma
-    lead_s: float = 0.1,
-    word_s: float = 0.3,
-    pos_per_s: float = 50.0,
-    floor: float = -20.0,
-):
-    """Guided-attention location prior for the synthetic corpus (numpy,
-    (seq_len, enc_len) f32): query index i predicts word slot i-1, whose
-    center sits at a known encoder position — the corpus is synthetic, so
-    the true monotonic alignment is available as a prior. The TTS
-    guided-attention idea (Tachibana et al. 2017) applied to score bias:
-    b[i, p] = max(floor, -weight * ((p - c_i)/sigma)^2), row 0 unbiased.
-    Annealed to zero over training so inference (which never sees the
-    bias) runs on internalized alignment."""
-    import numpy as np
-
-    if weight <= 0.0:
-        return None
-    i = np.arange(seq_len)[:, None]
-    p = np.arange(enc_len)[None, :]
-    center = (lead_s + (i - 1) * word_s + word_s / 2.0) * pos_per_s
-    b = -weight * ((p - center) / sigma) ** 2
-    b = np.maximum(b, floor)
-    b[0, :] = 0.0  # predicting the forced prefix needs no location
-    return b.astype(np.float32)
 
 
 def guided_attn_weights(
@@ -134,11 +97,10 @@ def make_train_step(
     loss_fn = jax.checkpoint(cross_entropy_loss, static_argnums=(1,)) if remat \
         else cross_entropy_loss
 
-    def step(params, opt_state, mel, tokens, loss_mask, cross_bias=None,
+    def step(params, opt_state, mel, tokens, loss_mask,
              ga_weights=None, ga_scale=None):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, cfg, mel, tokens, loss_mask, cross_bias, ga_weights,
-            ga_scale
+            params, cfg, mel, tokens, loss_mask, ga_weights, ga_scale
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
