@@ -103,9 +103,11 @@ def _tpu_check_gate():
         gate["rerun_error"] = rerun_error
     return gate
 
-BATCH = 16             # measured: bf16 10.6k audio-s/s at b16 vs 9.5k at b8;
-                       # the b16 graphs are in the persistent compile cache
-N_BATCHES = 5          # 80 utterances, ~ the reference's 73-utt dummy set
+BATCH = 32             # round-4 sweep (scripts/tiny_batch_sweep.py): bf16-KV
+                       # is batch-saturated (10.7/10.8/11.0k at b16/32/64) but
+                       # int8-KV keeps scaling to b32 (17.2k, = b64), where
+                       # the halved KV read traffic is the win
+N_BATCHES = 3          # 96 utterances, ~ the reference's 73-utt dummy set
 GEN_TOKENS = 48        # tokens decoded per utterance (no EOS early exit)
 AUDIO_SECONDS_PER_UTT = 30.0
 
@@ -133,7 +135,13 @@ def main():
     cfg = WhisperConfig.tiny_en()
     # disable EOS early-exit so every utterance decodes exactly GEN_TOKENS
     cfg = dataclasses.replace(cfg, eos_token_id=-1)
-    gen = GenerationConfig(max_new_tokens=GEN_TOKENS)
+    # headline serving precision: bf16 weights + int8 KV (T-minor cross
+    # layout auto-applies). int8 KV is transcript-exact vs fp32 on trained
+    # weights (ACCEPT_r4 drift study, 3 seeds, docs/PERFORMANCE.md) and
+    # lifts tiny.en ~60% over bf16 KV, whose KV reads bound the step.
+    # r1-r3 headlines were bf16-KV b16 — the compat field below keeps that
+    # series comparable.
+    gen = GenerationConfig(max_new_tokens=GEN_TOKENS, kv_cache_dtype="int8")
 
     params16 = jax.device_put(cast_params(init_params(cfg, seed=0), jnp.bfloat16))
     frontend = LogMelSpectrogram(cfg.num_mel_bins)
@@ -153,12 +161,12 @@ def main():
         for _ in range(N_BATCHES)
     ]
 
-    def run_pass(p, dtype):
+    def run_pass(p, dtype, pipe=None):
         t0 = time.perf_counter()
         last = None
         for audio in audio_batches:
             mel = frontend.jit()(audio).astype(dtype)
-            last, _ = pipeline(p, mel)
+            last, _ = (pipe or pipeline)(p, mel)
         # fetch a scalar: a real D2H dependency is the only reliable
         # completion barrier on this platform (block_until_ready has been
         # observed to return early through the device tunnel)
@@ -180,11 +188,20 @@ def main():
     audio_s_per_s_bf16 = rates[1]
     elapsed16 = total_audio_s / audio_s_per_s_bf16
 
+    # compat series: bf16-KV (the r1-r3 headline precision) at the same
+    # batch — bf16-KV is batch-saturated (b16 10.71k / b32 10.79k / b64
+    # 11.00k in the round-4 sweep) so this remains comparable to the b16
+    # numbers of earlier rounds
+    gen_compat = GenerationConfig(max_new_tokens=GEN_TOKENS)
+    pipe_compat = jax.jit(lambda p, m: transcribe_tokens(p, cfg, m, gen_compat))
+    run_pass(params16, jnp.bfloat16, pipe_compat)      # warmup (compile)
+    compat_aps = total_audio_s / run_pass(params16, jnp.bfloat16, pipe_compat)
+
     audio_s_per_s = None
     if os.environ.get("WHISPER_TPU_BENCH_FP32") == "1":
         params = jax.device_put(init_params(cfg, seed=0))
-        run_pass(params, jnp.float32)
-        elapsed = run_pass(params, jnp.float32)
+        run_pass(params, jnp.float32, pipe_compat)   # fp32 + float KV
+        elapsed = run_pass(params, jnp.float32, pipe_compat)
         audio_s_per_s = total_audio_s / elapsed
 
     # p50 latency per single utterance (batch=1, bf16)
@@ -209,7 +226,9 @@ def main():
     achieved_tflops = (flops_utt * BATCH * N_BATCHES) / elapsed16 / 1e12
     mfu = (achieved_tflops / peak_tflops) if peak_tflops else None
     # decode-phase HBM picture at the headline batch, mid-decode cache len
-    bytes_step = roofline.decode_bytes_per_step(cfg, BATCH, GEN_TOKENS // 2)
+    # (bf16 weights, int8 KV storage — the headline serving config)
+    bytes_step = roofline.decode_bytes_per_step(cfg, BATCH, GEN_TOKENS // 2,
+                                                kv_bytes=1.0)
     decode_hbm_floor_ms = (
         GEN_TOKENS * bytes_step / (hbm_gbps * 1e9) * 1e3 if hbm_gbps else None)
 
@@ -294,6 +313,8 @@ def main():
                             "max": round(rates[-1], 2), "n": len(rates)},
         "unit": "audio-s/s",
         "vs_baseline": round(audio_s_per_s_bf16 / baseline, 3),
+        "config": "bf16 weights + int8 KV (T-minor), batch 32",
+        "bf16_kv_audio_s_per_s": round(compat_aps, 2),
         "model_gflops_per_utt": round(flops_utt / 1e9, 2),
         "achieved_tflops": round(achieved_tflops, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,

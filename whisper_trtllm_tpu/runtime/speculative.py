@@ -69,11 +69,16 @@ def _compiled_speculative(
         if p < prompt_len:
             prompt_np[p] = tok
 
-    def fn(t_params, d_params, t_enc, d_enc):
+    def fn(t_params, d_params, mel):
         sup = jnp.asarray(suppress_t)
         beg = jnp.asarray(begin_t)
         prompt = jnp.asarray(prompt_np)[None]                    # (1, P)
 
+        # both encoders INSIDE the jit: the whole utterance is one device
+        # dispatch (eager per-op encodes cost dozens of round trips through
+        # a high-latency transport and dominated the round-4 spec_bench gap)
+        t_enc = wmodel.encode(t_params, t_cfg, mel)
+        d_enc = wmodel.encode(d_params, d_cfg, mel)
         t_cross = wmodel.compute_cross_kv(t_params, t_cfg, t_enc)
         d_cross = wmodel.compute_cross_kv(d_params, d_cfg, d_enc)
         t_self = wmodel.init_self_kv(t_cfg, 1, max_len, dtype=t_enc.dtype)
@@ -175,11 +180,9 @@ def speculative_transcribe_tokens(
     gen = gen or GenerationConfig()
     assert mel.shape[0] == 1, "speculative decoding is a batch-1 latency path"
     max_len = min(target_cfg.max_target_positions, gen.max_new_tokens + 1)
-    t_enc = wmodel.encode(target_params, target_cfg, mel)
-    d_enc = wmodel.encode(draft_params, draft_cfg, mel)
     tokens, length, rounds, accepted = _compiled_speculative(
         target_cfg, draft_cfg, max_len, gamma
-    )(target_params, draft_params, t_enc, d_enc)
+    )(target_params, draft_params, mel)
     if with_stats:
         return tokens, length, rounds, accepted
     return tokens, length
