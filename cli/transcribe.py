@@ -52,7 +52,8 @@ def main():
     ap.add_argument("--num-beams", type=int, default=1)
     ap.add_argument("--max-new-tokens", type=int, default=224)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
-    ap.add_argument("--kv-cache-dtype", default="auto", choices=["auto", "int8"])
+    ap.add_argument("--kv-cache-dtype", default="auto",
+                    choices=["auto", "int8", "fp8"])
     ap.add_argument("--compare", action="store_true",
                     help="differential test vs HF transformers (CPU torch)")
     ap.add_argument("--hf-model", default=None,
