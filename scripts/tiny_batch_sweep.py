@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--batches", default="16,32,64")
     ap.add_argument("--kv", action="store_true",
                     help="also measure int8-KV at each batch")
+    ap.add_argument("--kv-dtypes", default=None,
+                    help="explicit comma list of KV dtypes to measure "
+                         "(auto/int8/fp8), overriding --kv")
     ap.add_argument("--utts", type=int, default=96,
                     help="~total utterances per config (rounded to batches)")
     ap.add_argument("--gen-tokens", type=int, default=48)
@@ -90,10 +93,13 @@ def main():
         }), flush=True)
         return rates[1]
 
+    if args.kv_dtypes:
+        dtypes = args.kv_dtypes.split(",")
+    else:
+        dtypes = ["auto", "int8"] if args.kv else ["auto"]
     for b in [int(x) for x in args.batches.split(",")]:
-        measure(b, "auto")
-        if args.kv:
-            measure(b, "int8")
+        for dt in dtypes:
+            measure(b, dt)
 
 
 if __name__ == "__main__":
