@@ -60,6 +60,9 @@ def main(argv=None):
                     help="run the daemon on the CPU backend (smoke tests)")
     ap.add_argument("--dtype", default=None,
                     choices=[None, "float32", "bfloat16"])
+    ap.add_argument("--kv-cache-dtype", default=None,
+                    choices=[None, "auto", "int8", "fp8"],
+                    help="KV storage precision passed through to the daemon")
     args = ap.parse_args(argv)
 
     wavs = sorted(pathlib.Path(args.wav_dir).glob("*.wav"))
@@ -75,6 +78,8 @@ def main(argv=None):
         cmd.append("--cpu")
     if args.dtype:
         cmd += ["--dtype", args.dtype]
+    if args.kv_cache_dtype:
+        cmd += ["--kv-cache-dtype", args.kv_cache_dtype]
     proc = subprocess.Popen(
         cmd,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
