@@ -319,7 +319,7 @@ def main():
         "achieved_tflops": round(achieved_tflops, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "peak_bf16_tflops": peak_tflops,
-        "decode_bytes_per_step_b16": int(bytes_step),
+        "decode_bytes_per_step": int(bytes_step),  # at the headline batch
         "decode_hbm_floor_ms_per_batch": (round(decode_hbm_floor_ms, 2)
                                           if decode_hbm_floor_ms else None),
         "fp32_audio_s_per_s": (round(audio_s_per_s, 2)
