@@ -18,9 +18,10 @@ estimate of the HF torch fp32 tiny.en e2e throughput on the contest GPU
 (73 utts x 30 s in roughly 70-75 s); vs_baseline = value / (1.5 * that), i.e.
 vs_baseline >= 1.0 means the north-star target is met.
 
-The line also carries a nested "medium" object (medium.en int8W+int8KV bf16
-b16 throughput, MFU, decode roofline fraction — the size where the
-reference was weakest; reference README.md:93-98) and a "tpu_check" gate
+The line also carries nested "medium" and "large" objects (medium.en /
+large-v3 int8W+int8KV bf16 b16 throughput, MFU, decode roofline fraction —
+the per-size speed table the reference reports; reference README.md:93-98;
+large is memory-fit-guarded) and a "tpu_check" gate
 summary (the last full cli/tpu_check.py hardware run; a missing or failing
 record makes bench exit nonzero so a kernel regression cannot ride into a
 BENCH number unnoticed).
@@ -195,7 +196,13 @@ def main():
     gen_compat = GenerationConfig(max_new_tokens=GEN_TOKENS)
     pipe_compat = jax.jit(lambda p, m: transcribe_tokens(p, cfg, m, gen_compat))
     run_pass(params16, jnp.bfloat16, pipe_compat)      # warmup (compile)
-    compat_aps = total_audio_s / run_pass(params16, jnp.bfloat16, pipe_compat)
+    # same median-of-3 + spread protocol as the headline (ADVICE r4: the
+    # series whose purpose is cross-round comparability must not be the one
+    # single-pass number left exposed to session variance)
+    compat_rates = sorted(total_audio_s / run_pass(params16, jnp.bfloat16,
+                                                   pipe_compat)
+                          for _ in range(3))
+    compat_aps = compat_rates[1]
 
     audio_s_per_s = None
     if os.environ.get("WHISPER_TPU_BENCH_FP32") == "1":
@@ -228,80 +235,92 @@ def main():
     # decode-phase HBM picture at the headline batch, mid-decode cache len
     # (bf16 weights, int8 KV storage — the headline serving config)
     bytes_step = roofline.decode_bytes_per_step(cfg, BATCH, GEN_TOKENS // 2,
-                                                kv_bytes=1.0)
+                                                kv_bytes=1.0,
+                                                kv_scale_bytes=4.0)
     decode_hbm_floor_ms = (
         GEN_TOKENS * bytes_step / (hbm_gbps * 1e9) * 1e3 if hbm_gbps else None)
 
-    # ---- medium.en section (VERDICT r2 order 2): the serving-realistic
-    # size where the reference was weakest (1.2x, reference README.md:98)
-    # must be driver-visible, not a hand-run script. Best known config
-    # (docs/PERFORMANCE.md model-size grid): int8 weights + int8 KV, bf16
-    # compute, batch 16. ----
-    medium = None
-    if os.environ.get("WHISPER_TPU_BENCH_MEDIUM", "1") != "0":
+    # ---- per-size sections (VERDICT r2 order 2 / r4 order 7): the
+    # serving-realistic sizes must be driver-visible, not hand-run scripts
+    # (the reference reports per-size speed, README.md:93-98). Best known
+    # config for both (docs/PERFORMANCE.md model-size grid): int8 weights +
+    # int8 KV (T-minor), bf16 compute, batch 16. ----
+    def size_section(preset, s_batch, s_batches):
         from whisper_trtllm_tpu.quantization.quantize import (
             weight_only_quantize,
         )
 
-        mcfg = dataclasses.replace(WhisperConfig.preset("medium.en"),
+        scfg = dataclasses.replace(WhisperConfig.preset(preset),
                                    eos_token_id=-1)
-        m_batch, m_batches = 16, 2
-        mparams = weight_only_quantize(init_params(mcfg, seed=0))
-        mparams = jax.device_put(cast_params(mparams, jnp.bfloat16))
-        mgen = GenerationConfig(max_new_tokens=GEN_TOKENS,
+        sparams = weight_only_quantize(init_params(scfg, seed=0))
+        sparams = jax.device_put(cast_params(sparams, jnp.bfloat16))
+        sgen = GenerationConfig(max_new_tokens=GEN_TOKENS,
                                 kv_cache_dtype="int8")
-        mpipe = jax.jit(lambda p, m: transcribe_tokens(p, mcfg, m, mgen))
-        m_mels = [
+        spipe = jax.jit(lambda p, m: transcribe_tokens(p, scfg, m, sgen))
+        s_mels = [
             jax.device_put(jnp.asarray(
                 rng.standard_normal(
-                    (m_batch, 2 * mcfg.max_source_positions,
-                     mcfg.num_mel_bins)) * 0.5, jnp.bfloat16))
-            for _ in range(m_batches)
+                    (s_batch, 2 * scfg.max_source_positions,
+                     scfg.num_mel_bins)) * 0.5, jnp.bfloat16))
+            for _ in range(s_batches)
         ]
 
-        def m_pass():
+        def s_pass():
             t0 = time.perf_counter()
             last = None
-            for mel in m_mels:
-                last, _ = mpipe(mparams, mel)
+            for mel in s_mels:
+                last, _ = spipe(sparams, mel)
             np.asarray(last[0, -1])                  # hard D2H sync
             return time.perf_counter() - t0
 
-        m_pass()                                     # warmup (compile)
-        m_elapsed = m_pass()
-        m_audio = m_batch * m_batches * AUDIO_SECONDS_PER_UTT
-        m_aps = m_audio / m_elapsed
-        m_flops = roofline.pipeline_flops_per_utt(mcfg, GEN_TOKENS)
-        m_tflops = (m_flops * m_batch * m_batches) / m_elapsed / 1e12
-        m_bytes_step = roofline.decode_bytes_per_step(
-            mcfg, m_batch, GEN_TOKENS // 2, weight_bytes=1.0, kv_bytes=1.0)
+        s_pass()                                     # warmup (compile)
+        s_elapsed = s_pass()
+        s_audio = s_batch * s_batches * AUDIO_SECONDS_PER_UTT
+        s_aps = s_audio / s_elapsed
+        s_flops = roofline.pipeline_flops_per_utt(scfg, GEN_TOKENS)
+        s_tflops = (s_flops * s_batch * s_batches) / s_elapsed / 1e12
+        s_bytes_step = roofline.decode_bytes_per_step(
+            scfg, s_batch, GEN_TOKENS // 2, weight_bytes=1.0, kv_bytes=1.0,
+            kv_scale_bytes=4.0)
         # decode-phase split: encoder+cross-KV timed separately so the
         # roofline fraction refers to the decode loop it bounds
         from whisper_trtllm_tpu.models.whisper import model as wmodel
 
-        menc = jax.jit(lambda p, m: wmodel.encode(p, mcfg, m))
-        menc(mparams, m_mels[0])
-        np.asarray(menc(mparams, m_mels[0])[0, 0, 0])
+        senc = jax.jit(lambda p, m: wmodel.encode(p, scfg, m))
+        np.asarray(senc(sparams, s_mels[0])[0, 0, 0])   # compile + sync
         t0 = time.perf_counter()
-        e = menc(mparams, m_mels[0])
+        e = senc(sparams, s_mels[0])
         np.asarray(e[0, 0, 0])
-        m_enc_s = time.perf_counter() - t0
-        m_decode_s = m_elapsed / m_batches - m_enc_s
-        m_floor_s = (GEN_TOKENS * m_bytes_step / (hbm_gbps * 1e9)
+        s_enc_s = time.perf_counter() - t0
+        s_decode_s = s_elapsed / s_batches - s_enc_s
+        s_floor_s = (GEN_TOKENS * s_bytes_step / (hbm_gbps * 1e9)
                      if hbm_gbps else None)
-        medium = {
-            "audio_s_per_s": round(m_aps, 1),
-            "config": "int8 weights + int8 KV, bf16, batch 16",
-            "mfu": (round(m_tflops / peak_tflops, 4) if peak_tflops
+        return {
+            "audio_s_per_s": round(s_aps, 1),
+            "config": f"int8 weights + int8 KV, bf16, batch {s_batch}",
+            "mfu": (round(s_tflops / peak_tflops, 4) if peak_tflops
                     else None),
-            "achieved_tflops": round(m_tflops, 2),
-            "decode_ms_per_batch": round(m_decode_s * 1e3, 1),
-            "decode_hbm_floor_ms": (round(m_floor_s * 1e3, 1)
-                                    if m_floor_s else None),
-            "decode_roofline_frac": (round(m_floor_s / m_decode_s, 3)
-                                     if m_floor_s and m_decode_s > 0
+            "achieved_tflops": round(s_tflops, 2),
+            "decode_ms_per_batch": round(s_decode_s * 1e3, 1),
+            "decode_hbm_floor_ms": (round(s_floor_s * 1e3, 1)
+                                    if s_floor_s else None),
+            "decode_roofline_frac": (round(s_floor_s / s_decode_s, 3)
+                                     if s_floor_s and s_decode_s > 0
                                      else None),
         }
+
+    medium = None
+    if os.environ.get("WHISPER_TPU_BENCH_MEDIUM", "1") != "0":
+        medium = size_section("medium.en", 16, 2)
+    # large-v3 (VERDICT r4 order 7): memory-fit-guarded — int8 W+KV b16
+    # fits one v5e chip (docs/PERFORMANCE.md round-4 section); on a smaller
+    # device the section reports the failure instead of killing the line
+    large = None
+    if os.environ.get("WHISPER_TPU_BENCH_LARGE", "1") != "0":
+        try:
+            large = size_section("large-v3", 16, 2)
+        except Exception as e:  # noqa: BLE001 — OOM/compile-limit guard
+            large = {"skipped": f"{type(e).__name__}: {str(e)[:160]}"}
 
     gate = _tpu_check_gate()
 
@@ -315,6 +334,9 @@ def main():
         "vs_baseline": round(audio_s_per_s_bf16 / baseline, 3),
         "config": "bf16 weights + int8 KV (T-minor), batch 32",
         "bf16_kv_audio_s_per_s": round(compat_aps, 2),
+        "bf16_kv_spread": {"min": round(compat_rates[0], 2),
+                           "max": round(compat_rates[-1], 2),
+                           "n": len(compat_rates)},
         "model_gflops_per_utt": round(flops_utt / 1e9, 2),
         "achieved_tflops": round(achieved_tflops, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
@@ -332,6 +354,7 @@ def main():
         "backend": jax.default_backend(),
         "baseline_def": "1.5x estimated HF-GPU tiny.en e2e (30 audio-s/s)",
         "medium": medium,
+        "large": large,
         "tpu_check": gate,
     }))
     return 0 if gate["status"] in ("pass", "skipped (env)") else 1

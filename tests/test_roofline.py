@@ -47,3 +47,20 @@ def test_pipeline_flops_compose():
     parts = (roofline.encoder_flops(cfg) + roofline.cross_kv_flops(cfg)
              + roofline.decode_flops(cfg, 48))
     np.testing.assert_allclose(total, parts)
+
+
+def test_quantized_kv_scale_bytes():
+    """The quantized-KV 4-tuple carries fp32 per-(token, head) scales
+    ((B, H, T, 1) — ops/attention.py::quantize_kv); the decode floor must
+    count them (ADVICE r4). At dh=64 int8 the correction to the KV term is
+    exactly 4/64."""
+    cfg = WhisperConfig.tiny_en()
+    base = roofline.decode_bytes_per_step(cfg, 16, 24, kv_bytes=1.0)
+    with_scales = roofline.decode_bytes_per_step(cfg, 16, 24, kv_bytes=1.0,
+                                                 kv_scale_bytes=4.0)
+    kv_only = base - roofline.decoder_weight_bytes(cfg)
+    np.testing.assert_allclose(with_scales - base, kv_only * 4.0 / 64.0)
+    # default is the float-cache convention: no scales
+    np.testing.assert_allclose(
+        base, roofline.decode_bytes_per_step(cfg, 16, 24, kv_bytes=1.0,
+                                             kv_scale_bytes=0.0))

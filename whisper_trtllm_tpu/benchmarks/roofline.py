@@ -110,12 +110,22 @@ def decoder_weight_bytes(cfg: WhisperConfig, weight_bytes: float = 2.0,
 def decode_bytes_per_step(cfg: WhisperConfig, batch: int, cache_len: int,
                           weight_bytes: float = 2.0,
                           kv_bytes: float = 2.0,
-                          vocab_bytes: float = 2.0) -> float:
+                          vocab_bytes: float = 2.0,
+                          kv_scale_bytes: float = 0.0) -> float:
     """Minimum HBM bytes for ONE decode step of a ``batch`` at self-cache
     length ``cache_len``: weights once (shared across the batch) + per-row
-    self-KV reads up to cache_len + full cross-KV reads."""
+    self-KV reads up to cache_len + full cross-KV reads.
+
+    ``kv_scale_bytes``: bytes per-(token, head) of dequantization scale read
+    alongside quantized KV (the int8/fp8 cache is a 4-tuple kq/ks/vq/vs with
+    fp32 scales of shape (B, H, T, 1) — ops/attention.py::quantize_kv); pass
+    4.0 for quantized caches, 0.0 (default) for float caches. At dh=64 int8
+    this is a 4/64 ≈ 6% correction the floor would otherwise understate
+    (ADVICE r4)."""
     d, l = cfg.d_model, cfg.decoder_layers
-    self_kv = 2 * cache_len * d * kv_bytes
-    cross_kv = 2 * cfg.max_source_positions * d * kv_bytes
+    h = cfg.decoder_attention_heads
+    s = cfg.max_source_positions
+    self_kv = 2 * cache_len * (d * kv_bytes + h * kv_scale_bytes)
+    cross_kv = 2 * s * (d * kv_bytes + h * kv_scale_bytes)
     return float(decoder_weight_bytes(cfg, weight_bytes, vocab_bytes)
                  + batch * l * (self_kv + cross_kv))
