@@ -108,3 +108,32 @@ def test_batcher_pins_weights_on_device(setup):
                         GenerationConfig(max_new_tokens=4), num_lanes=2)
     leaves = jax.tree_util.tree_leaves(b.params)
     assert leaves and all(isinstance(l, jax.Array) for l in leaves)
+
+
+@pytest.mark.parametrize("kv_dtype", ["int8", "fp8"])
+def test_ifb_quantized_kv_matches_lockstep(setup, rng, kv_dtype):
+    """ADVICE r4: --kv-cache-dtype must actually reach the in-flight
+    backend. Quantized lanes (int8/fp8 self + cross, auto T-minor layout)
+    must reproduce the lockstep quantized decode exactly, lane stagger and
+    all."""
+    cfg, params = setup
+    n = 4
+    mels = rng.standard_normal(
+        (n, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+
+    gen = GenerationConfig(max_new_tokens=10, kv_cache_dtype=kv_dtype)
+    ref_tokens, ref_lens = transcribe_tokens(params, cfg, jnp.asarray(mels), gen)
+    ref_tokens, ref_lens = np.asarray(ref_tokens), np.asarray(ref_lens)
+
+    batcher = InflightBatcher(params, cfg, gen, num_lanes=2, segment_steps=3)
+    # the lanes must actually hold quantized caches (4-tuples)
+    assert len(batcher.state.self_kv) == 4
+    assert len(batcher.state.cross_kv) == 4
+    rids = [batcher.submit(mels[i]) for i in range(n)]
+    batcher.run()
+    for i, rid in enumerate(rids):
+        out = batcher.fetch(rid)
+        assert out is not None
+        expect = ref_tokens[i, : ref_lens[i]]
+        np.testing.assert_array_equal(out[: len(expect)], expect)

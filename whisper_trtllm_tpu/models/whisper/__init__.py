@@ -6,6 +6,7 @@ from whisper_trtllm_tpu.models.whisper.model import (  # noqa: F401
     decode_step,
     decode_step_kv,
     decode_step_ragged,
+    decode_step_ragged_kv,
     encode,
     init_params,
     init_self_kv,

@@ -569,6 +569,79 @@ def decode_step(
     return logits, self_k, self_v
 
 
+def decode_step_ragged_kv(
+    params: dict,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,
+    pos: jnp.ndarray,
+    self_kv: Tuple[jnp.ndarray, ...],
+    cross_kv: Tuple[jnp.ndarray, ...],
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+    """Per-lane decode step with pluggable cache precision: like
+    ``decode_step_kv`` but ``pos`` is a (B,) vector — every batch lane sits
+    at its own sequence position, so lanes carry *different utterances at
+    different stages* (the in-flight-batching primitive; analog of the
+    reference's per-request cache pointers,
+    cpp/tensorrt_llm/plugins/ibGptAttentionPlugin/).
+
+    ``self_kv``/``cross_kv``: float 2-tuples or quantized 4-tuples
+    (k_q, k_scale, v_q, v_scale), same conventions as ``decode_step_kv`` —
+    the serving (in-flight) path must offer the same INT8/FP8_KV_CACHE
+    modes as the lockstep path (ADVICE r4: cli/serve --backend ifb silently
+    ignored --kv-cache-dtype)."""
+    dec = params["decoder"]
+    heads = cfg.decoder_attention_heads
+    pos = pos.astype(jnp.int32)
+    n_self = len(self_kv)
+    quant_self = n_self == 4
+    quant_cross = len(cross_kv) == 4
+    t_major = cross_kv_t_major(cfg, cross_kv)
+
+    x = embedding(dec["embed_tokens"], tokens[:, None])
+    x = x + jnp.take(dec["embed_positions"], pos, axis=0).astype(x.dtype)[:, None]
+
+    def body(x, xs):
+        lp = xs[0]
+        s = xs[1 : 1 + n_self]
+        c = xs[1 + n_self :]
+        h = layer_norm(lp["self_attn_layer_norm"], x)
+        q, k_new, v_new = attention_qkv(lp["self_attn"], h, None, heads)
+        if quant_self:
+            skq, sks, svq, svs = s
+            k_q, k_s = quantize_kv(k_new, skq.dtype)
+            v_q, v_s = quantize_kv(v_new, svq.dtype)
+            skq, svq = update_kv_cache(skq, svq, k_q, v_q, pos)
+            sks, svs = update_kv_cache(sks, svs, k_s, v_s, pos)
+            a = mha_decode_step(q, skq, svq, pos + 1, k_scale=sks, v_scale=svs)
+            new_s = (skq, sks, svq, svs)
+        else:
+            sk, sv = update_kv_cache(s[0], s[1], k_new, v_new, pos)
+            a = mha_decode_step(q, sk, sv, pos + 1)
+            new_s = (sk, sv)
+        x = x + dense(lp["self_attn"]["out"], merge_heads(a))
+
+        h = layer_norm(lp["encoder_attn_layer_norm"], x)
+        qc = cross_attention_q(lp, h, heads)
+        enc_len = jnp.int32(cfg.max_source_positions)
+        if quant_cross:
+            a = mha_decode_step(qc, c[0], c[2], enc_len, k_scale=c[1],
+                                v_scale=c[3], t_major=t_major)
+        else:
+            a = mha_decode_step(qc, c[0], c[1], enc_len, t_major=t_major)
+        x = x + dense(lp["encoder_attn"]["out"], merge_heads(a))
+
+        h = layer_norm(lp["final_layer_norm"], x)
+        x = x + mlp_block(lp, h)
+        return x, new_s
+
+    x, new_self = jax.lax.scan(
+        body, x, (dec["layers"],) + tuple(self_kv) + tuple(cross_kv)
+    )
+    x = layer_norm(dec["layer_norm"], x)
+    logits = _vocab_logits(dec, x)[:, 0]
+    return logits, new_self
+
+
 def decode_step_ragged(
     params: dict,
     cfg: WhisperConfig,
@@ -579,44 +652,10 @@ def decode_step_ragged(
     cross_k: jnp.ndarray,
     cross_v: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-lane decode step: like ``decode_step`` but ``pos`` is a (B,)
-    vector — every batch lane sits at its own sequence position, so lanes can
-    carry *different utterances at different stages* (the in-flight-batching
-    primitive; analog of the reference's per-request cache pointers,
-    cpp/tensorrt_llm/plugins/ibGptAttentionPlugin/)."""
-    dec = params["decoder"]
-    heads = cfg.decoder_attention_heads
-    pos = pos.astype(jnp.int32)
-
-    x = embedding(dec["embed_tokens"], tokens[:, None])
-    x = x + jnp.take(dec["embed_positions"], pos, axis=0).astype(x.dtype)[:, None]
-
-    def body(x, xs):
-        lp, sk, sv, ck, cv = xs
-        h = layer_norm(lp["self_attn_layer_norm"], x)
-        q, k_new, v_new = attention_qkv(lp["self_attn"], h, None, heads)
-        sk, sv = update_kv_cache(sk, sv, k_new, v_new, pos)
-        a = merge_heads(mha_decode_step(q, sk, sv, pos + 1))
-        x = x + dense(lp["self_attn"]["out"], a)
-
-        h = layer_norm(lp["encoder_attn_layer_norm"], x)
-        d = x.shape[-1]
-        qc = cross_attention_q(lp, h, heads)
-        a = merge_heads(
-            mha_decode_step(qc, ck, cv, jnp.int32(cfg.max_source_positions),
-                            t_major=cross_kv_t_major(cfg, (ck, cv)))
-        )
-        x = x + dense(lp["encoder_attn"]["out"], a)
-
-        h = layer_norm(lp["final_layer_norm"], x)
-        x = x + mlp_block(lp, h)
-        return x, (sk, sv)
-
-    x, (self_k, self_v) = jax.lax.scan(
-        body, x, (dec["layers"], self_k, self_v, cross_k, cross_v)
+    """Float-cache ragged step (see ``decode_step_ragged_kv``)."""
+    logits, (self_k, self_v) = decode_step_ragged_kv(
+        params, cfg, tokens, pos, (self_k, self_v), (cross_k, cross_v)
     )
-    x = layer_norm(dec["layer_norm"], x)
-    logits = _vocab_logits(dec, x)[:, 0]
     return logits, self_k, self_v
 
 

@@ -10,7 +10,16 @@ per-request cache pointer arrays.
 
 Host↔device sync happens once per *segment* (a jitted run of up to
 ``segment_steps`` decode steps that early-exits when every lane is done),
-not per token.
+not per token — and the segment's lane flags are streamed to the host with
+``copy_to_host_async`` as soon as the segment is dispatched, so on
+transports with high fixed round-trip latency the D2H ride overlaps the
+device compute instead of serializing after it (VERDICT r4 order 6).
+
+Cache precision is pluggable like the lockstep path: pass a
+``GenerationConfig`` with ``kv_cache_dtype="int8"``/``"fp8"`` and the lanes
+store quantized 4-tuple caches with the T-minor cross layout (the measured
+serving precision, docs/PERFORMANCE.md) — previously the in-flight backend
+silently decoded bf16-KV whatever the caller asked (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -26,6 +35,10 @@ import numpy as np
 from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
 from whisper_trtllm_tpu.models.whisper import model as wmodel
 from whisper_trtllm_tpu.runtime import logits_process as lp
+from whisper_trtllm_tpu.runtime.generation import (
+    apply_cross_layout,
+    kv_quant_dtype,
+)
 
 
 class LaneState(NamedTuple):
@@ -33,10 +46,8 @@ class LaneState(NamedTuple):
     pos: jnp.ndarray        # (B,) index of last filled position
     active: jnp.ndarray     # (B,) lane holds a request
     finished: jnp.ndarray   # (B,) request hit EOS / max length
-    self_k: jnp.ndarray     # (L, B, H, max_len, dh)
-    self_v: jnp.ndarray
-    cross_k: jnp.ndarray    # (L, B, H, Tc, dh)
-    cross_v: jnp.ndarray
+    self_kv: Tuple[jnp.ndarray, ...]    # float 2-tuple or quantized 4-tuple
+    cross_kv: Tuple[jnp.ndarray, ...]   # (L, B, H, Tc, dh) tuple (or T-minor)
 
 
 @functools.lru_cache(maxsize=8)
@@ -61,9 +72,8 @@ def _compiled_segment(cfg: WhisperConfig, max_len: int, segment_steps: int):
             s, i = carry
             live = should_step(s)
             cur = jnp.take_along_axis(s.tokens, s.pos[:, None], axis=1)[:, 0]
-            logits, sk, sv = wmodel.decode_step_ragged(
-                params, cfg, cur, s.pos, s.self_k, s.self_v,
-                s.cross_k, s.cross_v,
+            logits, new_self = wmodel.decode_step_ragged_kv(
+                params, cfg, cur, s.pos, s.self_kv, s.cross_kv,
             )
             nxt_pos = jnp.minimum(s.pos + 1, max_len - 1)
             logits = logits + sup[None]
@@ -82,8 +92,8 @@ def _compiled_segment(cfg: WhisperConfig, max_len: int, segment_steps: int):
             hit_max = live & (nxt_pos >= max_len - 1)
             finished = s.finished | hit_eos | hit_max
             pos = jnp.where(live, nxt_pos, s.pos)
-            return (LaneState(tokens, pos, s.active, finished, sk, sv,
-                              s.cross_k, s.cross_v), i + 1)
+            return (LaneState(tokens, pos, s.active, finished, new_self,
+                              s.cross_kv), i + 1)
 
         final, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
         return final
@@ -93,16 +103,21 @@ def _compiled_segment(cfg: WhisperConfig, max_len: int, segment_steps: int):
 
 @functools.lru_cache(maxsize=8)
 def _compiled_admit(cfg: WhisperConfig, max_len: int):
-    """Insert a new utterance's cross-KV into one lane and reset lane state."""
+    """Insert a new utterance's cross-KV into one lane and reset lane state.
 
-    def admit(state: LaneState, lane, new_ck, new_cv) -> LaneState:
+    Generic over the cross tuple arity/layout: every leaf is a rank-5
+    (L, B, ...) array and the new utterance arrives with the lane axis
+    dropped, so one dynamic_update_slice per leaf covers float, quantized
+    and T-minor caches alike."""
+
+    def admit(state: LaneState, lane, new_cross) -> LaneState:
         lane = lane.astype(jnp.int32)
         zero = jnp.zeros((), jnp.int32)
-        ck = jax.lax.dynamic_update_slice(
-            state.cross_k, new_ck[:, None], (zero, lane, zero, zero, zero)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            state.cross_v, new_cv[:, None], (zero, lane, zero, zero, zero)
+        cross = tuple(
+            jax.lax.dynamic_update_slice(
+                cur, new[:, None], (zero, lane, zero, zero, zero)
+            )
+            for cur, new in zip(state.cross_kv, new_cross)
         )
         row = jnp.full((max_len,), cfg.pad_token_id, jnp.int32).at[0].set(
             cfg.decoder_start_token_id
@@ -112,7 +127,7 @@ def _compiled_admit(cfg: WhisperConfig, max_len: int):
         active = state.active.at[lane].set(True)
         finished = state.finished.at[lane].set(False)
         return LaneState(tokens, pos, active, finished,
-                         state.self_k, state.self_v, ck, cv)
+                         state.self_kv, cross)
 
     return jax.jit(admit, donate_argnums=(0,))
 
@@ -145,35 +160,41 @@ class InflightBatcher:
         self.num_lanes = num_lanes
         self.segment_steps = segment_steps
         self.max_len = min(cfg.max_target_positions, gen.max_new_tokens + 1)
+        kv_qdtype = kv_quant_dtype(gen.kv_cache_dtype)
+        layout = gen.cross_kv_layout
 
-        self._encode = jax.jit(
-            lambda p, m: wmodel.compute_cross_kv(
-                p, cfg, wmodel.encode(p, cfg, m)
-            )
-        )
+        # encode + cross-KV prep (quantize + layout) in ONE jitted dispatch
+        def encode_cross(p, m):
+            ck, cv = wmodel.compute_cross_kv(p, cfg, wmodel.encode(p, cfg, m))
+            cross = ((ck, cv) if kv_qdtype is None
+                     else wmodel.quantize_cross_kv(ck, cv, kv_qdtype))
+            return apply_cross_layout(cross, layout)
+
+        self._encode = jax.jit(encode_cross)
         self._segment = _compiled_segment(cfg, self.max_len, segment_steps)
         self._admit = _compiled_admit(cfg, self.max_len)
 
-        sk, sv = wmodel.init_self_kv(cfg, num_lanes, self.max_len)
-        ck_probe, cv_probe = jax.eval_shape(
+        if kv_qdtype is None:
+            self_kv = wmodel.init_self_kv(cfg, num_lanes, self.max_len)
+        else:
+            self_kv = wmodel.init_self_kv_quant(cfg, num_lanes, self.max_len,
+                                                kv_qdtype)
+        cross_probe = jax.eval_shape(
             self._encode, params,
             jax.ShapeDtypeStruct(
                 (1, 2 * cfg.max_source_positions, cfg.num_mel_bins), jnp.float32
             ),
         )
-        tc = ck_probe.shape[3]
         self.state = LaneState(
             tokens=jnp.full((num_lanes, self.max_len), cfg.pad_token_id, jnp.int32),
             pos=jnp.zeros((num_lanes,), jnp.int32),
             active=jnp.zeros((num_lanes,), bool),
             finished=jnp.zeros((num_lanes,), bool),
-            self_k=sk, self_v=sv,
-            cross_k=jnp.zeros(
-                (cfg.decoder_layers, num_lanes, cfg.decoder_attention_heads,
-                 tc, cfg.decoder_head_dim), jnp.float32),
-            cross_v=jnp.zeros(
-                (cfg.decoder_layers, num_lanes, cfg.decoder_attention_heads,
-                 tc, cfg.decoder_head_dim), jnp.float32),
+            self_kv=self_kv,
+            cross_kv=tuple(
+                jnp.zeros((c.shape[0], num_lanes) + c.shape[2:], c.dtype)
+                for c in cross_probe
+            ),
         )
         self._queue: deque = deque()
         self._lane_req: List[Optional[int]] = [None] * num_lanes
@@ -222,6 +243,17 @@ class InflightBatcher:
                     return
                 continue
             self.state = self._segment(self.params, self.state)
+            # start the D2H ride of everything _retire_and_admit will read
+            # NOW, behind the still-running segment: on this transport the
+            # fixed round-trip (~24 ms) otherwise serializes device-idle
+            # after every segment (VERDICT r4 order 6). copy_to_host_async
+            # is a hint — correctness never depends on it.
+            for arr in (self.state.finished, self.state.active,
+                        self.state.tokens, self.state.pos):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:  # noqa: BLE001 — optional fast path
+                    break
         raise RuntimeError("run() exceeded max_segments")
 
     # -- internals ------------------------------------------------------------
@@ -231,9 +263,8 @@ class InflightBatcher:
         # round-trip latency (this environment's ~24 ms dev tunnel) the
         # per-iteration sync count — not bytes — sets the serving
         # scheduler's pace; measured as the ifb backend's load-test
-        # pathology (docs/RUNTIME.md round-4 table)
-        import jax
-
+        # pathology (docs/RUNTIME.md round-4 table). run() pre-arms these
+        # fetches with copy_to_host_async behind the segment dispatch.
         finished, active = jax.device_get(
             (self.state.finished, self.state.active))
         retire = [lane for lane in range(self.num_lanes)
@@ -255,8 +286,9 @@ class InflightBatcher:
         for lane in range(self.num_lanes):
             if self._lane_req[lane] is None and self._queue:
                 rid, mel = self._queue.popleft()
-                ck, cv = self._encode(self.params, jnp.asarray(mel))
+                cross = self._encode(self.params, jnp.asarray(mel))
                 self.state = self._admit(
-                    self.state, jnp.int32(lane), ck[:, 0], cv[:, 0]
+                    self.state, jnp.int32(lane),
+                    tuple(c[:, 0] for c in cross),
                 )
                 self._lane_req[lane] = rid
