@@ -73,13 +73,21 @@ def main():
 
     greedy = jax.jit(lambda p, m: transcribe_tokens(p, t_cfg, m, gen))
     np.asarray(greedy(t_params, mels[0])[0])
-    t0 = time.perf_counter()
+    # per-call latencies, not one mean-of-total: the round-4 greedy line
+    # read ~7x above the bench.py b1 probe and a single aggregate cannot
+    # tell a uniformly slow call from one contended straggler — the median
+    # + spread makes the measurement self-diagnosing (VERDICT r4 order 5)
+    lat = []
     for m in mels:
+        t0 = time.perf_counter()
         toks, _ = greedy(t_params, m)
         np.asarray(toks[0, -1])
-    g_ms = (time.perf_counter() - t0) / len(mels) * 1e3
-    print(json.dumps({"mode": "greedy", "ms_per_utt": round(g_ms, 1)}),
-          flush=True)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    print(json.dumps({
+        "mode": "greedy", "ms_per_utt": round(float(np.mean(lat)), 1),
+        "ms_per_utt_median": round(float(np.median(lat)), 1),
+        "ms_min": round(min(lat), 1), "ms_max": round(max(lat), 1),
+    }), flush=True)
 
     for gamma in [int(g) for g in args.gammas.split(",")]:
         speculative_transcribe_tokens(
