@@ -311,6 +311,42 @@ def check_int8_kv_greedy():
     return agree >= 0.8, {"token_agreement": agree}
 
 
+def check_ifb_quantized_lanes():
+    """In-flight batcher with int8 lanes (quantized ragged decode — the
+    serving precision path, round 5) reproduces lockstep int8 greedy
+    exactly on hardware, lane stagger and all."""
+    import jax.numpy as jnp
+
+    from whisper_trtllm_tpu.config import GenerationConfig, WhisperConfig
+    from whisper_trtllm_tpu.models.whisper import init_params
+    from whisper_trtllm_tpu.runtime.generation import transcribe_tokens
+    from whisper_trtllm_tpu.runtime.ifb import InflightBatcher
+
+    cfg = WhisperConfig.testing(d_model=64, encoder_attention_heads=4,
+                                decoder_attention_heads=4,
+                                encoder_ffn_dim=128, decoder_ffn_dim=128,
+                                vocab_size=128)
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(9)
+    mels = rng.standard_normal(
+        (3, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    gen = GenerationConfig(max_new_tokens=8, kv_cache_dtype="int8")
+    ref_t, ref_l = transcribe_tokens(params, cfg, jnp.asarray(mels), gen)
+    ref_t, ref_l = np.asarray(ref_t), np.asarray(ref_l)
+    b = InflightBatcher(params, cfg, gen, num_lanes=2, segment_steps=3)
+    rids = [b.submit(mels[i]) for i in range(3)]
+    b.run()
+    exact = 0
+    for i, rid in enumerate(rids):
+        out = b.fetch(rid)
+        expect = ref_t[i, : ref_l[i]]
+        exact += int(out is not None
+                     and np.array_equal(out[: len(expect)], expect))
+    return exact == 3, {"exact": exact, "quantized_lanes":
+                        len(b.state.self_kv) == 4}
+
+
 def check_cross_attn_kernel():
     """Head-contiguous cross-attention library kernel vs the XLA decode
     step, compiled on hardware (previously interpret-only — VERDICT r2
@@ -410,6 +446,7 @@ CHECKS = {
     "fused_layer": check_fused_layer,
     "int8_kv_fold": check_int8_kv_fold,
     "int8_kv_greedy": check_int8_kv_greedy,
+    "ifb_quantized_lanes": check_ifb_quantized_lanes,
     "step_equals_full": check_step_equals_full,
     "paged_vs_contiguous": check_paged_vs_contiguous,
     "cross_attn_kernel": check_cross_attn_kernel,

@@ -184,6 +184,14 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     args = ap.parse_args()
 
+    import jax
+
+    try:  # cold compiles ride a slow remote tunnel here; persist them
+        jax.config.update("jax_compilation_cache_dir", "/tmp/wtpu_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from whisper_trtllm_tpu.benchmarks.allowed_configs import ALLOWED_CONFIGS
 
     for model in args.model:
