@@ -209,22 +209,36 @@ class CausalLMInflightBatcher:
                     return
                 continue
             self.state = self._segment_fn(self.params, self.state)
+            # pre-arm the host reads behind the running segment (same
+            # overlap as runtime/ifb.py — the fixed D2H round-trip rides
+            # the device compute instead of serializing after it)
+            for arr in (self.state.finished, self.state.active,
+                        self.state.tokens, self.state.pos):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:  # noqa: BLE001 — optional fast path
+                    break
         raise RuntimeError("run() exceeded max_segments")
 
     # -- internals ----------------------------------------------------------------
     def _retire_and_admit(self) -> None:
-        finished = np.asarray(self.state.finished)
-        active = np.asarray(self.state.active)
-        tokens = pos = None
-        for lane in range(self.num_lanes):
-            if active[lane] and finished[lane] and self._lane_req[lane] is not None:
-                if tokens is None:
-                    tokens = np.asarray(self.state.tokens)
-                    pos = np.asarray(self.state.pos)
+        # one packed D2H window + one batched deactivation (per-lane
+        # .at[].set dispatches pace the scheduler on high-latency
+        # transports — same lesson as runtime/ifb.py)
+        finished, active = jax.device_get(
+            (self.state.finished, self.state.active))
+        retire = [lane for lane in range(self.num_lanes)
+                  if active[lane] and finished[lane]
+                  and self._lane_req[lane] is not None]
+        if retire:
+            tokens, pos = jax.device_get((self.state.tokens, self.state.pos))
+            keep = np.ones((self.num_lanes,), bool)
+            for lane in retire:
                 self._results[self._lane_req[lane]] = tokens[lane, : pos[lane] + 1]
                 self._lane_req[lane] = None
-                self.state = self.state._replace(
-                    active=self.state.active.at[lane].set(False))
+                keep[lane] = False
+            self.state = self.state._replace(
+                active=self.state.active & jnp.asarray(keep))
         for lane in range(self.num_lanes):
             if self._lane_req[lane] is None and self._queue:
                 rid, ids = self._queue.popleft()
