@@ -58,9 +58,13 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
 
-    # ---- int8 target ----
+    # ---- int8 target (kernels AND the vocab table — the fp32 embed_tokens
+    # alone is ~80 MB at vocab 51864; int8 everywhere lands the artifact
+    # near 40 MB. Exactness is re-gated below as stored.) ----
+    from whisper_trtllm_tpu.quantization.quantize import quantize_vocab_embedding
+
     params, cfg = load_checkpoint(args.target)
-    qparams = weight_only_quantize(params)
+    qparams = quantize_vocab_embedding(weight_only_quantize(params))
     save_checkpoint(os.path.join(args.out, "tiny_en_synth_int8"), qparams, cfg)
 
     # ---- bf16 draft ----
