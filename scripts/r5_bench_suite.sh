@@ -46,6 +46,17 @@ python scripts/serve_loadtest.py --checkpoint "$SYNTH/ckpt_ft" \
   --wav-dir "$SYNTH/eval_wavs" --backend slots --clients 16 --requests 64 \
   --max-new-tokens 96 --kv-cache-dtype int8 | tee "$OUT/load_slots_int8.json"
 
+echo "=== spec_tiny re-run (packed-sync harness) $(date +%H:%M:%S)"
+python scripts/spec_bench.py --target "$SYNTH/ckpt_ft" \
+  --draft "$SYNTH/ckpt_micro_ft" --wav-dir "$SYNTH/eval_wavs" \
+  --utts 16 --gammas 2,4,6 --max-new-tokens 96 \
+  | tee "$OUT/spec_tiny_packed.jsonl"
+
+echo "=== trained-weight drift (re-anchored from this round's checkpoint) $(date +%H:%M:%S)"
+python scripts/drift_study.py --checkpoint "$SYNTH/ckpt_ft" \
+  --audio-dir "$SYNTH/eval_wavs" --utts 32 --seeds 1 \
+  | tee "$OUT/drift_r5.json" || true
+
 echo "=== bench.py (headline + medium + NEW large object) $(date +%H:%M:%S)"
 python bench.py | tee "$OUT/bench.json"
 

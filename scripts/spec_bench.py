@@ -88,13 +88,18 @@ def main():
     # speculative pay the same per-utt D2H. ----
     greedy = jax.jit(lambda p, m: transcribe_tokens(p, t_cfg, m, gen))
     np.asarray(greedy(t_params, mels[0])[0])        # compile + sync
+    # ONE packed D2H window per utterance on both paths: each separate
+    # np.asarray costs a full ~24 ms round-trip on this transport, and the
+    # r4 protocol charged speculative 4 fetches/utt vs greedy's 2 — a
+    # harness artifact worth ~50 ms/utt of phantom speculative cost
+    # (same lesson as runtime/ifb.py's packed sync window)
     t0 = time.perf_counter()
     glens, gtoks = [], []
     for m in mels:
-        toks, lens = greedy(t_params, m)
-        L = int(np.asarray(lens)[0])
+        toks, lens = jax.device_get(greedy(t_params, m))
+        L = int(lens[0])
         glens.append(L)
-        gtoks.append(np.asarray(toks)[0, :L])
+        gtoks.append(toks[0, :L])
     g_elapsed = time.perf_counter() - t0
     g_ms = g_elapsed / len(mels) * 1e3
     print(json.dumps({
@@ -110,16 +115,17 @@ def main():
         lens = []
         t0 = time.perf_counter()
         for i, m in enumerate(mels):
-            toks, length, rounds, accepted = speculative_transcribe_tokens(
-                t_params, t_cfg, d_params, d_cfg, m, gen, gamma=gamma,
-                with_stats=True)
-            L = int(np.asarray(length)[0] if np.ndim(length) else length)
-            R = int(np.asarray(rounds))
+            toks, length, rounds, accepted = jax.device_get(
+                speculative_transcribe_tokens(
+                    t_params, t_cfg, d_params, d_cfg, m, gen, gamma=gamma,
+                    with_stats=True))
+            L = int(length[0] if np.ndim(length) else length)
+            R = int(rounds)
             lens.append(L)
-            acc_tok += int(np.asarray(accepted))    # exact in-loop count
+            acc_tok += int(accepted)                # exact in-loop count
             acc_rounds += R
             exact += int(L == glens[i]
-                         and np.array_equal(np.asarray(toks)[0, :L], gtoks[i]))
+                         and np.array_equal(toks[0, :L], gtoks[i]))
         elapsed = time.perf_counter() - t0
         ms = elapsed / len(mels) * 1e3
         acc_rate = acc_tok / max(gamma * acc_rounds, 1)
