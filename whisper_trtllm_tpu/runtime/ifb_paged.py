@@ -249,10 +249,10 @@ class PagedCausalLMInflightBatcher:
     def _reserve_segment(self) -> int:
         """Grow every live lane's table to cover up to ``segment_steps`` more
         tokens; return the step count every lane is covered for."""
-        active = np.asarray(self.state.active)
-        finished = np.asarray(self.state.finished)
-        pos = np.asarray(self.state.pos)
-        plen = np.asarray(self.state.plen)
+        # one packed D2H window (see runtime/ifb.py)
+        active, finished, pos, plen = jax.device_get(
+            (self.state.active, self.state.finished, self.state.pos,
+             self.state.plen))
         nsteps = self.segment_steps
         for lane in range(self.num_lanes):
             if not (active[lane] and not finished[lane]):
@@ -278,14 +278,14 @@ class PagedCausalLMInflightBatcher:
         return nsteps
 
     def _retire_and_admit(self) -> None:
-        finished = np.asarray(self.state.finished)
-        active = np.asarray(self.state.active)
+        finished, active = jax.device_get(
+            (self.state.finished, self.state.active))
         tokens = pos = None
         for lane in range(self.num_lanes):
             if active[lane] and finished[lane] and self._lane_req[lane] is not None:
                 if tokens is None:
-                    tokens = np.asarray(self.state.tokens)
-                    pos = np.asarray(self.state.pos)
+                    tokens, pos = jax.device_get(
+                        (self.state.tokens, self.state.pos))
                 self._results[self._lane_req[lane]] = tokens[lane, : pos[lane] + 1]
                 self._lane_req[lane] = None
                 self._free_lane(lane)

@@ -127,7 +127,9 @@ class WhisperSession:
         """mel (B, 3000, n_mels) → (tokens (B, max_len), lengths (B,))."""
         mel = jnp.asarray(mel, self._dtype)
         tokens, lengths = self._pipeline(self.params, mel)
-        return np.asarray(tokens), np.asarray(lengths)
+        # one packed D2H window (sequential np.asarray pays a full
+        # round-trip per array on high-latency transports)
+        return jax.device_get((tokens, lengths))
 
     def transcribe(self, audio) -> Tuple[np.ndarray, np.ndarray]:
         """Raw audio (B, n_samples) 16 kHz → (tokens, lengths); pads/trims to
@@ -135,7 +137,7 @@ class WhisperSession:
         audio = np.atleast_2d(np.asarray(audio))
         mel = self.frontend.jit()(jnp.asarray(pad_or_trim(audio)))
         tokens, lengths = self._pipeline(self.params, mel.astype(self._dtype))
-        return np.asarray(tokens), np.asarray(lengths)
+        return jax.device_get((tokens, lengths))
 
     def encode(self, mel) -> jnp.ndarray:
         return self._encode(self.params, jnp.asarray(mel, self._dtype))
