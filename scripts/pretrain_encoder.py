@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-layer encoder rematerialization — required at "
+                    "medium+ dims (61 GB activation OOM at b16 without it)")
     args = ap.parse_args()
 
     import jax
@@ -104,7 +107,8 @@ def main():
                                                               head)}
 
     def loss_fn(st, mel, labels):
-        enc = wmodel.encode(st["params"], cfg, mel)      # (B, P, d)
+        enc = wmodel.encode(st["params"], cfg, mel,
+                            remat=args.remat)           # (B, P, d)
         logits = enc @ st["head"]["w"] + st["head"]["b"]  # (B, P, 33)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]

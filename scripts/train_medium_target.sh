@@ -14,7 +14,7 @@ python scripts/make_init_ckpt.py --preset medium.en --seed 11 \
 echo "=== STAGE medium_pretrain $(date +%H:%M:%S)"
 python scripts/pretrain_encoder.py --checkpoint "$SYNTH/ckpt_medium_init" \
   --dataset "$SYNTH/train_all.pkl" --output "$SYNTH/ckpt_medium_pre" \
-  --steps 2000
+  --steps 2000 --remat --batch 8
 echo "=== STAGE medium_finetune $(date +%H:%M:%S)"
 python -m cli.finetune --checkpoint "$SYNTH/ckpt_medium_pre" \
   --dataset "$SYNTH/train_all.pkl" --output "$SYNTH/ckpt_medium_ft" \

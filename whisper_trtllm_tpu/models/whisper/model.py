@@ -173,12 +173,19 @@ def _encoder_layer(lp: dict, x: jnp.ndarray, heads: int) -> jnp.ndarray:
     return x
 
 
-def encode(params: dict, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
+def encode(params: dict, cfg: WhisperConfig, mel: jnp.ndarray,
+           remat: bool = False) -> jnp.ndarray:
     """mel (B, 3000, n_mels) → encoder states (B, 1500, d).
 
     Conv stem is a true conv1d (the reference emulates it with Conv2d,
     reference model.py:77-100), then +sinusoid positions, N scanned layers,
     final LN (reference model.py:90-111).
+
+    ``remat=True`` rematerializes per scanned layer (jax.checkpoint on the
+    scan body): training stores only the (B, 1500, d) layer boundaries and
+    recomputes a layer's internals in the backward — without it a medium.en
+    encoder backward wants ~61 GB of activations at batch 16 (measured OOM,
+    round 5) vs the chip's 16 GB.
     """
     enc = params["encoder"]
     x = jax.nn.gelu(conv1d(enc["conv1"], mel, stride=1, padding=1), approximate=False)
@@ -190,6 +197,8 @@ def encode(params: dict, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
     def body(carry, lp):
         return _encoder_layer(lp, carry, heads), None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, enc["layers"])
     return layer_norm(enc["layer_norm"], x)
 

@@ -226,7 +226,9 @@ class InflightBatcher:
             mel = mel[None]
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, mel))
+        # [rid, mel, cross-KV-or-None]: the encode is pre-dispatched behind
+        # a running segment (run()) so admission never waits for it
+        self._queue.append([rid, mel, None])
         return rid
 
     def compute_mel(self, audio: np.ndarray) -> np.ndarray:
@@ -258,6 +260,12 @@ class InflightBatcher:
                    if (self._queue and self._segment_short is not None)
                    else self._segment)
             self.state = seg(self.params, self.state)
+            # pre-dispatch encodes for waiting requests NOW (async): the
+            # ~10 ms encoder + its dispatch latency ride behind the
+            # running segment instead of serializing inside the
+            # retire/admit window (the admit itself still waits for a
+            # free lane; the encode never needed one)
+            self._pre_encode(self.num_lanes)
             # start the D2H ride of everything _retire_and_admit will read
             # NOW, behind the still-running segment: on this transport the
             # fixed round-trip (~24 ms) otherwise serializes device-idle
@@ -272,6 +280,15 @@ class InflightBatcher:
         raise RuntimeError("run() exceeded max_segments")
 
     # -- internals ------------------------------------------------------------
+    def _pre_encode(self, limit: int) -> None:
+        """Dispatch (async) the encoder + cross-KV prep for up to ``limit``
+        queued requests that don't have one yet."""
+        for i, item in enumerate(self._queue):
+            if i >= limit:
+                break
+            if item[2] is None:
+                item[2] = self._encode(self.params, jnp.asarray(item[1]))
+
     def _retire_and_admit(self) -> None:
         # one packed D2H sync window for the per-iteration host decision
         # (not one np.asarray per array): on transports with high fixed
@@ -300,8 +317,9 @@ class InflightBatcher:
             )
         for lane in range(self.num_lanes):
             if self._lane_req[lane] is None and self._queue:
-                rid, mel = self._queue.popleft()
-                cross = self._encode(self.params, jnp.asarray(mel))
+                rid, mel, cross = self._queue.popleft()
+                if cross is None:  # not pre-encoded (direct-drive callers)
+                    cross = self._encode(self.params, jnp.asarray(mel))
                 self.state = self._admit(
                     self.state, jnp.int32(lane),
                     tuple(c[:, 0] for c in cross),

@@ -26,6 +26,7 @@ def cross_entropy_loss(
     loss_mask: jnp.ndarray,
     ga_weights: Optional[jnp.ndarray] = None,
     ga_scale: Optional[jnp.ndarray] = None,
+    remat_encoder: bool = False,
 ) -> jnp.ndarray:
     """mel (B, T, M); tokens (B, S) incl. decoder_start; loss_mask (B, S-1)
     marks the target positions that count. ``ga_weights`` (S-1, T_enc) +
@@ -40,7 +41,11 @@ def cross_entropy_loss(
     # custom VJP — training runs straight through the fused kernel; no
     # pallas_disabled() needed. Inference decode_full defaults to
     # flash_cross=False for bitwise parity with decode_step.
-    enc = wmodel.encode(params, cfg, mel)
+    # per-layer encoder remat (jax.checkpoint on the scan body) is the
+    # fit-enabling lever at medium+ dims: the whole-loss checkpoint below
+    # does NOT bound the backward's peak (the recompute still materializes
+    # every layer's internals at once) — measured 61 GB OOM at medium b16
+    enc = wmodel.encode(params, cfg, mel, remat=remat_encoder)
     if ga_weights is not None:
         logits, ga_pen = wmodel.decode_full(
             params, cfg, tokens[:, :-1], enc, flash_cross=True,
@@ -94,8 +99,10 @@ def make_train_step(
     ``remat=True`` rematerializes the forward (jax.checkpoint) to trade HBM
     for FLOPs on memory-bound configs (SURVEY.md TPU guidance)."""
     optimizer = optimizer or optax.adamw(1e-4)
-    loss_fn = jax.checkpoint(cross_entropy_loss, static_argnums=(1,)) if remat \
-        else cross_entropy_loss
+    import functools
+
+    loss_fn = (functools.partial(cross_entropy_loss, remat_encoder=True)
+               if remat else cross_entropy_loss)
 
     def step(params, opt_state, mel, tokens, loss_mask,
              ga_weights=None, ga_scale=None):
