@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--gammas", default="2,4,6")
     ap.add_argument("--utts", type=int, default=8)
     ap.add_argument("--max-new-tokens", type=int, default=96)
+    ap.add_argument("--preset", default="tiny.en",
+                    help="TARGET preset (draft stays the 2L/d192 micro): "
+                    "per-round loop cost vs per-step greedy cost at any "
+                    "target size, acceptance-independent (random weights "
+                    "accept ~0 -> 1 token/round)")
     args = ap.parse_args()
 
     import jax
@@ -48,8 +53,9 @@ def main():
 
     import dataclasses
 
-    t_cfg = WhisperConfig.tiny_en()
-    # the round-4 "micro" draft shape: 2 layers / d192 (spec_bench draft)
+    t_cfg = WhisperConfig.preset(args.preset)
+    # the round-4 "micro" draft shape: 2 layers / d192 (spec_bench draft);
+    # token config follows the target so both propose in one space
     d_cfg = dataclasses.replace(
         t_cfg, d_model=192, encoder_layers=2, decoder_layers=2,
         encoder_attention_heads=3, decoder_attention_heads=3,
