@@ -137,3 +137,28 @@ def test_ifb_quantized_kv_matches_lockstep(setup, rng, kv_dtype):
         assert out is not None
         expect = ref_tokens[i, : ref_lens[i]]
         np.testing.assert_array_equal(out[: len(expect)], expect)
+
+
+def test_ifb_double_buffered_matches_lockstep(setup, rng, monkeypatch):
+    """WHISPER_TPU_IFB_DOUBLE_BUFFER=1 keeps one segment in flight past
+    the host sync; token streams must be identical, including lanes that
+    retire and re-admit behind the in-flight segment (the epoch guard)."""
+    monkeypatch.setenv("WHISPER_TPU_IFB_DOUBLE_BUFFER", "1")
+    cfg, params = setup
+    n = 7
+    mels = rng.standard_normal(
+        (n, 2 * cfg.max_source_positions, cfg.num_mel_bins)
+    ).astype(np.float32)
+    gen = GenerationConfig(max_new_tokens=10, kv_cache_dtype="int8")
+    ref_tokens, ref_lens = transcribe_tokens(params, cfg, jnp.asarray(mels), gen)
+    ref_tokens, ref_lens = np.asarray(ref_tokens), np.asarray(ref_lens)
+
+    batcher = InflightBatcher(params, cfg, gen, num_lanes=2, segment_steps=4)
+    assert batcher._double_buffer
+    rids = [batcher.submit(mels[i]) for i in range(n)]
+    batcher.run()
+    for i, rid in enumerate(rids):
+        out = batcher.fetch(rid)
+        assert out is not None, f"request {i} never retired"
+        expect = ref_tokens[i, : ref_lens[i]]
+        np.testing.assert_array_equal(out[: len(expect)], expect)

@@ -25,6 +25,7 @@ silently decoded bf16-KV whatever the caller asked (ADVICE r4).
 from __future__ import annotations
 
 import functools
+import os
 from collections import deque
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
@@ -212,6 +213,16 @@ class InflightBatcher:
         self._lane_req: List[Optional[int]] = [None] * num_lanes
         self._results: Dict[int, np.ndarray] = {}
         self._next_id = 1
+        # double-buffered scheduling (opt-in, A/B via env): dispatch
+        # segment N+1 before consuming N's host outputs. Exact because
+        # finished lanes freeze inside the segment body and admissions
+        # only ever apply to the newest device state; the epoch counters
+        # below stop a freshly admitted lane from being retired off a
+        # snapshot that predates its first decoded segment.
+        self._double_buffer = (
+            os.environ.get("WHISPER_TPU_IFB_DOUBLE_BUFFER") == "1")
+        self._seg_idx = 0                       # segments dispatched
+        self._lane_epoch = [0] * num_lanes      # seg index vouching lane
         # built eagerly: a lazy hasattr-init under concurrent first
         # requests races N threads into N duplicate frontend traces
         from whisper_trtllm_tpu.audio.features import LogMelSpectrogram
@@ -248,35 +259,63 @@ class InflightBatcher:
     def fetch(self, request_id: int) -> Optional[np.ndarray]:
         return self._results.pop(request_id, None)
 
+    def _dispatch_segment(self):
+        """Dispatch one jitted segment on the newest state; return a host-
+        sync SNAPSHOT (copies of the 4 scheduler arrays + the segment
+        index). Copies, because the state itself is donated into the NEXT
+        dispatch; pre-armed with copy_to_host_async so the D2H round-trip
+        rides behind the running segment (VERDICT r4 order 6)."""
+        seg = (self._segment_short
+               if (self._queue and self._segment_short is not None)
+               else self._segment)
+        self.state = seg(self.params, self.state)
+        self._seg_idx += 1
+        snap = tuple(jnp.copy(a) for a in
+                     (self.state.finished, self.state.active,
+                      self.state.tokens, self.state.pos)) + (self._seg_idx,)
+        # pre-dispatch encodes for waiting requests (async): the ~10 ms
+        # encoder + its dispatch latency ride behind the running segment
+        # instead of serializing inside the retire/admit window
+        self._pre_encode(self.num_lanes)
+        for arr in snap[:4]:
+            try:
+                arr.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — optional fast path
+                break
+        return snap
+
     def run(self, max_segments: int = 10_000) -> None:
-        """Process until the queue is empty and all lanes drain."""
+        """Process until the queue is empty and all lanes drain.
+
+        Default: dispatch → sync → retire/admit per segment. With
+        ``WHISPER_TPU_IFB_DOUBLE_BUFFER=1``: keep one segment in flight
+        past the sync — segment N+1 is dispatched BEFORE N's outputs are
+        consumed, so the host-side retire/admit overlaps device compute;
+        admissions land one segment later (bounded by the adaptive short
+        segment), token streams identical."""
+        snap = None
         for _ in range(max_segments):
-            self._retire_and_admit()
-            if not any(self._lane_req):
+            if not self._double_buffer:
+                self._retire_and_admit(snap)
+                snap = None
+                if not any(self._lane_req):
+                    if not self._queue:
+                        return
+                    continue
+                snap = self._dispatch_segment()
+                continue
+            busy = any(self._lane_req)
+            if busy:
+                new_snap = self._dispatch_segment()
+            else:
+                new_snap = None
+            if snap is not None:
+                self._retire_and_admit(snap)
+            elif not busy:
                 if not self._queue:
                     return
-                continue
-            seg = (self._segment_short
-                   if (self._queue and self._segment_short is not None)
-                   else self._segment)
-            self.state = seg(self.params, self.state)
-            # pre-dispatch encodes for waiting requests NOW (async): the
-            # ~10 ms encoder + its dispatch latency ride behind the
-            # running segment instead of serializing inside the
-            # retire/admit window (the admit itself still waits for a
-            # free lane; the encode never needed one)
-            self._pre_encode(self.num_lanes)
-            # start the D2H ride of everything _retire_and_admit will read
-            # NOW, behind the still-running segment: on this transport the
-            # fixed round-trip (~24 ms) otherwise serializes device-idle
-            # after every segment (VERDICT r4 order 6). copy_to_host_async
-            # is a hint — correctness never depends on it.
-            for arr in (self.state.finished, self.state.active,
-                        self.state.tokens, self.state.pos):
-                try:
-                    arr.copy_to_host_async()
-                except Exception:  # noqa: BLE001 — optional fast path
-                    break
+                self._retire_and_admit()
+            snap = new_snap
         raise RuntimeError("run() exceeded max_segments")
 
     # -- internals ------------------------------------------------------------
@@ -289,21 +328,33 @@ class InflightBatcher:
             if item[2] is None:
                 item[2] = self._encode(self.params, jnp.asarray(item[1]))
 
-    def _retire_and_admit(self) -> None:
+    def _retire_and_admit(self, snapshot=None) -> None:
         # one packed D2H sync window for the per-iteration host decision
         # (not one np.asarray per array): on transports with high fixed
         # round-trip latency (this environment's ~24 ms dev tunnel) the
         # per-iteration sync count — not bytes — sets the serving
         # scheduler's pace; measured as the ifb backend's load-test
-        # pathology (docs/RUNTIME.md round-4 table). run() pre-arms these
-        # fetches with copy_to_host_async behind the segment dispatch.
-        finished, active = jax.device_get(
-            (self.state.finished, self.state.active))
+        # pathology (docs/RUNTIME.md round-4 table). ``snapshot``
+        # (finished, active, tokens, pos, seg_idx) is a pre-armed copy of
+        # a dispatched segment's result; under double-buffering the device
+        # is already running the NEXT segment while this host read lands.
+        if snapshot is None:
+            f_arr, a_arr = self.state.finished, self.state.active
+            t_arr, p_arr = self.state.tokens, self.state.pos
+            snap_seg = self._seg_idx
+        else:
+            f_arr, a_arr, t_arr, p_arr, snap_seg = snapshot
+        finished, active = jax.device_get((f_arr, a_arr))
         retire = [lane for lane in range(self.num_lanes)
                   if active[lane] and finished[lane]
-                  and self._lane_req[lane] is not None]
+                  and self._lane_req[lane] is not None
+                  # a snapshot can only vouch for lanes admitted before
+                  # the segment it came from (double-buffer: a lane
+                  # re-admitted behind the snapshot still shows its OLD
+                  # request's frozen finished flag)
+                  and self._lane_epoch[lane] <= snap_seg]
         if retire:
-            tokens, pos = jax.device_get((self.state.tokens, self.state.pos))
+            tokens, pos = jax.device_get((t_arr, p_arr))
             keep = np.ones((self.num_lanes,), bool)
             for lane in retire:
                 row = tokens[lane, : pos[lane] + 1]
@@ -311,7 +362,8 @@ class InflightBatcher:
                 self._lane_req[lane] = None
                 keep[lane] = False
             # single batched deactivation instead of one .at[].set dispatch
-            # per retired lane
+            # per retired lane (applied to the NEWEST state — retired lanes
+            # are frozen in any segment dispatched ahead, so this is exact)
             self.state = self.state._replace(
                 active=self.state.active & jnp.asarray(keep)
             )
@@ -325,3 +377,5 @@ class InflightBatcher:
                     tuple(c[:, 0] for c in cross),
                 )
                 self._lane_req[lane] = rid
+                # first segment that can decode this request
+                self._lane_epoch[lane] = self._seg_idx + 1

@@ -88,9 +88,10 @@ class IfbTranscriptionServer:
             self.batcher._retire_and_admit()
             active = sum(1 for r in self.batcher._lane_req if r is not None)
             if active:
-                self.batcher.state = self.batcher._segment(
-                    self.batcher.params, self.batcher.state
-                )
+                # _dispatch_segment (not a bare _segment call): it advances
+                # the batcher's segment counter — the retire epoch guard —
+                # and pre-arms the next host sync behind the device work
+                self.batcher._dispatch_segment()
             return active
 
     def fetch(self, request_id: int):
