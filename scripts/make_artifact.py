@@ -113,6 +113,24 @@ def main():
         raise SystemExit("artifact transcription mismatch — NOT committing "
                          "a checkpoint that fails its own eval")
 
+    # ---- committability: the whole point is weights IN GIT. Round 5
+    # found `.gitignore`'s blanket *.msgpack silently dropped
+    # params.msgpack from the artifact commits (config.json landed, the
+    # 41 MB of weights never did, and the machine reset erased them).
+    # Fail packaging loudly if git would ignore any produced file.
+    import subprocess
+
+    produced = [os.path.join(args.out, "tiny_en_synth_int8", "params.msgpack")]
+    if args.draft:
+        produced.append(
+            os.path.join(args.out, "micro_draft_bf16", "params.msgpack"))
+    ignored = subprocess.run(
+        ["git", "check-ignore", *produced],
+        capture_output=True, text=True).stdout.strip()
+    if ignored:
+        raise SystemExit(
+            f"git would ignore artifact files (fix .gitignore):\n{ignored}")
+
 
 if __name__ == "__main__":
     main()

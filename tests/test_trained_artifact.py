@@ -19,9 +19,15 @@ import pytest
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts")
 
+# Gate on the WEIGHT file, not the directory: round 5 discovered the
+# config dirs can be committed while `.gitignore`'s old `*.msgpack` rule
+# silently dropped params.msgpack from the same commit (fixed with an
+# explicit `!artifacts/**/*.msgpack` exception + a packaging-time
+# `git check-ignore` assertion in scripts/make_artifact.py).
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(ART, "tiny_en_synth_int8")),
-    reason="trained artifact not built (scripts/make_artifact.py)")
+    not os.path.isfile(
+        os.path.join(ART, "tiny_en_synth_int8", "params.msgpack")),
+    reason="trained artifact weights not built (scripts/make_artifact.py)")
 
 
 def _read_wav(path):
@@ -55,7 +61,8 @@ def test_int8_artifact_transcribes_bundled_utterance_exactly():
 
 
 def test_micro_draft_loads_and_matches_spec_shape():
-    if not os.path.isdir(os.path.join(ART, "micro_draft_bf16")):
+    if not os.path.isfile(
+            os.path.join(ART, "micro_draft_bf16", "params.msgpack")):
         pytest.skip("micro draft not packaged yet")
     from whisper_trtllm_tpu.utils.checkpoint import load_checkpoint
 
